@@ -1,0 +1,130 @@
+"""Segment reductions — the TPU-native replacement for torch-scatter.
+
+The reference leans on torch-scatter's CUDA kernels for every aggregation:
+``scatter_mean`` pooling (reference lib/Hodge_ST_Model.py:282-285), the
+``aggr='add'`` of PyG ``MessagePassing.propagate`` inside the spectral convs
+(reference lib/Hodge_Cheb_Conv.py:502,518-519), and ``scatter_max`` imports
+(reference lib/Hodge_Cheb_Conv.py:25).
+
+On TPU the idiomatic lowering is ``jax.ops.segment_sum`` — XLA compiles the
+scatter-add to the on-chip scatter unit and fuses the surrounding elementwise
+work.  All shapes are static: callers pass ``num_segments`` and invalid
+(padding) rows must either carry zero data or point at a dump segment that the
+caller slices away.
+
+Accumulation is fp32 regardless of the input dtype (bf16-safe), matching the
+reference semantics where torch-scatter accumulates in the input dtype but the
+reference always runs fp32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_NEG_INF = -jnp.inf
+
+
+def segment_sum(
+    data: Array,
+    segment_ids: Array,
+    num_segments: int,
+    *,
+    indices_are_sorted: bool = False,
+) -> Array:
+    """Sum ``data`` rows into ``num_segments`` buckets.
+
+    data: [M, ...]; segment_ids: [M] int32 in [0, num_segments).  Ids >=
+    num_segments are dropped by XLA scatter semantics — we use this to route
+    padding to an implicit dump bucket.
+    """
+    acc = data.astype(jnp.float32) if data.dtype == jnp.bfloat16 else data
+    out = jax.ops.segment_sum(
+        acc,
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+    return out.astype(data.dtype)
+
+
+def segment_count(
+    segment_ids: Array,
+    num_segments: int,
+    *,
+    weights: Array | None = None,
+) -> Array:
+    """Number of (optionally weighted) elements per segment: [num_segments]."""
+    ones = (
+        jnp.ones(segment_ids.shape, dtype=jnp.float32)
+        if weights is None
+        else weights.astype(jnp.float32)
+    )
+    return jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
+
+
+def segment_mean(
+    data: Array,
+    segment_ids: Array,
+    num_segments: int,
+    *,
+    weights: Array | None = None,
+    eps: float = 0.0,
+) -> Array:
+    """Mean of ``data`` rows per segment (torch-scatter ``scatter_mean``).
+
+    Empty segments yield 0 (torch-scatter yields 0 as well since it divides by
+    clamp(count, 1)).  ``weights`` lets callers exclude padded rows: a padded
+    row with weight 0 contributes neither to the numerator nor the count.
+    """
+    if weights is not None:
+        data = data * weights.reshape((-1,) + (1,) * (data.ndim - 1)).astype(data.dtype)
+    total = segment_sum(data, segment_ids, num_segments)
+    count = segment_count(segment_ids, num_segments, weights=weights)
+    denom = jnp.maximum(count, 1.0) + eps
+    return total / denom.reshape((-1,) + (1,) * (data.ndim - 1)).astype(total.dtype)
+
+
+def segment_max(
+    data: Array,
+    segment_ids: Array,
+    num_segments: int,
+    *,
+    mask_value: float = 0.0,
+) -> Array:
+    """Max of ``data`` rows per segment; empty segments yield ``mask_value``."""
+    out = jax.ops.segment_max(
+        data.astype(jnp.float32), segment_ids, num_segments=num_segments
+    )
+    out = jnp.where(jnp.isneginf(out), jnp.asarray(mask_value, out.dtype), out)
+    return out.astype(data.dtype)
+
+
+def segment_softmax(
+    logits: Array,
+    segment_ids: Array,
+    num_segments: int,
+    *,
+    mask: Array | None = None,
+) -> Array:
+    """Numerically stable softmax within each segment (PyG ``utils.softmax``).
+
+    Used by attention-style gating heads; ``mask`` (0/1 per element) removes
+    padded rows from both the max and the normalizer.
+    """
+    x = logits.astype(jnp.float32)
+    if mask is not None:
+        m = mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim)).astype(bool)
+        x = jnp.where(m, x, _NEG_INF)
+    seg_max = jax.ops.segment_max(x, segment_ids, num_segments=num_segments)
+    seg_max = jnp.where(jnp.isneginf(seg_max), 0.0, seg_max)
+    shifted = x - seg_max[segment_ids]
+    expx = jnp.exp(shifted)
+    if mask is not None:
+        m = mask.reshape(mask.shape + (1,) * (expx.ndim - mask.ndim))
+        expx = expx * m.astype(expx.dtype)
+    denom = jax.ops.segment_sum(expx, segment_ids, num_segments=num_segments)
+    denom = jnp.maximum(denom, 1e-16)
+    return (expx / denom[segment_ids]).astype(logits.dtype)

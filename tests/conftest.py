@@ -1,0 +1,54 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+The single-host multi-device analog of multi-node "fake backend" testing
+(SURVEY.md §4): all sharding/collective tests run against
+``--xla_force_host_platform_device_count=8`` on CPU, never requiring real
+TPU chips.
+"""
+
+import os
+
+# The environment pre-registers a remote TPU backend (JAX_PLATFORMS is set
+# before the interpreter starts), so the env var alone cannot reroute tests to
+# CPU — jax.config.update after import can.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def random_graph(rng, n=12, extra_edges=6):
+    """Connected random graph as canonical (src < dst) edge arrays."""
+    # spanning tree + extra random edges, deduped
+    parents = rng.integers(0, np.maximum(np.arange(1, n), 1))
+    src = np.minimum(parents, np.arange(1, n))
+    dst = np.maximum(parents, np.arange(1, n))
+    pairs = {(int(a), int(b)) for a, b in zip(src, dst)}
+    for _ in range(extra_edges):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            pairs.add((int(min(a, b)), int(max(a, b))))
+    arr = np.array(sorted(pairs), np.int32)
+    return arr[:, 0], arr[:, 1]
+
+
+@pytest.fixture
+def graph_factory(rng):
+    def make(n=12, extra_edges=6):
+        return random_graph(rng, n, extra_edges)
+
+    return make

@@ -1,0 +1,201 @@
+"""Unit parity of the sparse kernel layer against dense linear algebra.
+
+The reference ships no tests; per SURVEY.md §4 the oracle for every kernel is
+the dense matrix it represents.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hl_hgat_tpu.ops import (
+    boundary_abs_s2t,
+    boundary_abs_t2s,
+    boundary_s2t,
+    boundary_t2s,
+    segment_max,
+    segment_mean,
+    segment_softmax,
+    segment_sum,
+    sddmm_coo,
+    spmm_coo,
+    spmm_dense_oracle,
+)
+from hl_hgat_tpu.ops.boundary import node_degree
+from hl_hgat_tpu.complex.build import boundary_dense, coo_to_ell
+from hl_hgat_tpu.ops.pallas_spmm import spmm_ell_pallas
+
+
+def random_coo(rng, n_rows, n_cols, nnz, pad=7):
+    rows = rng.integers(0, n_rows, nnz).astype(np.int32)
+    cols = rng.integers(0, n_cols, nnz).astype(np.int32)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    # pad with zero-valued entries (arbitrary in-range indices)
+    rows = np.concatenate([rows, np.zeros(pad, np.int32)])
+    cols = np.concatenate([cols, np.zeros(pad, np.int32)])
+    vals = np.concatenate([vals, np.zeros(pad, np.float32)])
+    return rows, cols, vals
+
+
+class TestSegment:
+    def test_sum_mean_max(self, rng):
+        data = rng.standard_normal((20, 5)).astype(np.float32)
+        ids = rng.integers(0, 6, 20).astype(np.int32)
+        out = segment_sum(jnp.asarray(data), jnp.asarray(ids), 6)
+        expect = np.zeros((6, 5), np.float32)
+        np.add.at(expect, ids, data)
+        np.testing.assert_allclose(out, expect, rtol=1e-5)
+
+        mean = segment_mean(jnp.asarray(data), jnp.asarray(ids), 6)
+        counts = np.maximum(np.bincount(ids, minlength=6), 1)
+        np.testing.assert_allclose(mean, expect / counts[:, None], rtol=1e-5)
+
+        mx = segment_max(jnp.asarray(data), jnp.asarray(ids), 6)
+        for s in range(6):
+            if (ids == s).any():
+                np.testing.assert_allclose(
+                    mx[s], data[ids == s].max(0), rtol=1e-5
+                )
+
+    def test_out_of_range_dropped(self):
+        data = jnp.ones((4, 2))
+        ids = jnp.array([0, 1, 5, 9], jnp.int32)  # 5, 9 out of range
+        out = segment_sum(data, ids, 2)
+        np.testing.assert_allclose(out, np.ones((2, 2)))
+
+    def test_weighted_mean_excludes_padding(self, rng):
+        data = rng.standard_normal((6, 3)).astype(np.float32)
+        ids = np.array([0, 0, 0, 1, 1, 1], np.int32)
+        w = np.array([1, 1, 0, 1, 0, 0], np.float32)
+        out = segment_mean(
+            jnp.asarray(data), jnp.asarray(ids), 2, weights=jnp.asarray(w)
+        )
+        np.testing.assert_allclose(out[0], data[:2].mean(0), rtol=1e-5)
+        np.testing.assert_allclose(out[1], data[3], rtol=1e-5)
+
+    def test_segment_softmax(self, rng):
+        x = rng.standard_normal((8, 1)).astype(np.float32)
+        ids = np.array([0, 0, 0, 1, 1, 1, 1, 1], np.int32)
+        out = np.asarray(segment_softmax(jnp.asarray(x), jnp.asarray(ids), 2))
+        for s in range(2):
+            grp = out[ids == s]
+            np.testing.assert_allclose(grp.sum(), 1.0, rtol=1e-5)
+            ref = np.exp(x[ids == s])
+            np.testing.assert_allclose(grp, ref / ref.sum(), rtol=1e-5)
+
+
+class TestSpmm:
+    def test_matches_dense(self, rng):
+        rows, cols, vals = random_coo(rng, 10, 12, 30)
+        x = rng.standard_normal((12, 4)).astype(np.float32)
+        out = spmm_coo(
+            jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+            jnp.asarray(x), 10,
+        )
+        expect = spmm_dense_oracle(
+            jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+            jnp.asarray(x), 10,
+        )
+        np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
+
+    def test_gradients(self, rng):
+        rows, cols, vals = random_coo(rng, 6, 6, 14, pad=2)
+        x = rng.standard_normal((6, 3)).astype(np.float32)
+
+        def f_sparse(v, xx):
+            return jnp.sum(
+                spmm_coo(jnp.asarray(rows), jnp.asarray(cols), v, xx, 6) ** 2
+            )
+
+        def f_dense(v, xx):
+            dense = jnp.zeros((6, 6)).at[rows, cols].add(v)
+            return jnp.sum((dense @ xx) ** 2)
+
+        gv, gx = jax.grad(f_sparse, argnums=(0, 1))(
+            jnp.asarray(vals), jnp.asarray(x)
+        )
+        gv_d, gx_d = jax.grad(f_dense, argnums=(0, 1))(
+            jnp.asarray(vals), jnp.asarray(x)
+        )
+        np.testing.assert_allclose(gx, gx_d, rtol=1e-4, atol=1e-5)
+        # duplicate (row, col) pairs may split the value-gradient differently
+        # between entries only if duplicates exist; random_coo can create
+        # duplicates, so compare through the dense matrix instead:
+        dense_g = np.zeros((6, 6), np.float32)
+        np.add.at(dense_g, (rows, cols), np.asarray(gv))
+        dense_gd = np.zeros((6, 6), np.float32)
+        np.add.at(dense_gd, (rows, cols), np.asarray(gv_d))
+        np.testing.assert_allclose(dense_g, dense_gd, rtol=1e-4, atol=1e-5)
+
+    def test_sddmm(self, rng):
+        rows, cols, _ = random_coo(rng, 8, 9, 20, pad=0)
+        a = rng.standard_normal((8, 5)).astype(np.float32)
+        b = rng.standard_normal((9, 5)).astype(np.float32)
+        out = sddmm_coo(
+            jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(a), jnp.asarray(b)
+        )
+        expect = (a @ b.T)[rows, cols]
+        np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
+
+    def test_ell_kernel_interpret(self, rng):
+        rows, cols, vals = random_coo(rng, 16, 16, 40)
+        x = rng.standard_normal((16, 8)).astype(np.float32)
+        ell_cols, ell_vals = coo_to_ell(rows, cols, vals, 16)
+        out = spmm_ell_pallas(
+            jnp.asarray(ell_cols), jnp.asarray(ell_vals), jnp.asarray(x),
+            block_rows=8,
+        )
+        expect = spmm_dense_oracle(
+            jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+            jnp.asarray(x), 16,
+        )
+        np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
+
+
+class TestBoundary:
+    def test_all_products_match_dense_b1(self, rng, graph_factory):
+        src, dst = graph_factory(n=10, extra_edges=8)
+        n, e = 10, src.shape[0]
+        b1 = boundary_dense(src, dst, n)
+        x_s = rng.standard_normal((e, 4)).astype(np.float32)
+        x_t = rng.standard_normal((n, 4)).astype(np.float32)
+        s, d = jnp.asarray(src), jnp.asarray(dst)
+
+        np.testing.assert_allclose(
+            boundary_abs_s2t(jnp.asarray(x_s), s, d, n),
+            np.abs(b1) @ x_s, rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            boundary_s2t(jnp.asarray(x_s), s, d, n),
+            b1 @ x_s, rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            boundary_abs_t2s(jnp.asarray(x_t), s, d),
+            np.abs(b1).T @ x_t, rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            boundary_t2s(jnp.asarray(x_t), s, d),
+            b1.T @ x_t, rtol=1e-4, atol=1e-5,
+        )
+
+    def test_edge_mask_zeroes_padding(self, rng, graph_factory):
+        src, dst = graph_factory(n=8, extra_edges=4)
+        e = src.shape[0]
+        # append bogus padded edges pointing at node 0
+        src_p = np.concatenate([src, np.zeros(3, np.int32)])
+        dst_p = np.concatenate([dst, np.zeros(3, np.int32)])
+        mask = np.concatenate([np.ones(e, np.float32), np.zeros(3, np.float32)])
+        x_s = rng.standard_normal((e + 3, 4)).astype(np.float32)
+        out = boundary_abs_s2t(
+            jnp.asarray(x_s), jnp.asarray(src_p), jnp.asarray(dst_p), 8,
+            edge_mask=jnp.asarray(mask),
+        )
+        b1 = boundary_dense(src, dst, 8)
+        np.testing.assert_allclose(out, np.abs(b1) @ x_s[:e], rtol=1e-4, atol=1e-5)
+
+    def test_degree(self, graph_factory):
+        src, dst = graph_factory(n=9, extra_edges=5)
+        deg = node_degree(jnp.asarray(src), jnp.asarray(dst), 9, eps=1e-6)
+        expect = np.bincount(src, minlength=9) + np.bincount(dst, minlength=9)
+        np.testing.assert_allclose(deg, expect + 1e-6, rtol=1e-5)
