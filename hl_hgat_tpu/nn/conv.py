@@ -1,0 +1,143 @@
+"""Spectral polynomial filters over Hodge Laplacians.
+
+One conv primitive serves both simplex orders: filter node features with L0
+or edge features with L1 (the reference instantiates the same class for both,
+reference lib/Hodge_Cheb_Conv.py:452-523).
+
+Recurrences (matching the canonical main-lib semantics — the DEMO fast-conv
+K>2 deviation at HL-HGAT-DEMO/lib/Hodge_Cheb_Conv.py:561 is deliberately NOT
+reproduced; SURVEY.md §2.4):
+
+  Laguerre:   T0 = x,  T1 = x − Lx,
+              T_{k+1} = (−L·T_k + (2k+1)·T_k − k·T_{k−1}) / (k+1)
+              (reference lib/Hodge_Cheb_Conv.py:494,507)
+  Chebyshev:  T0 = x,  T1 = Lx,  T_{k+1} = 2·L·T_k − T_{k−1}
+              (reference lib/Hodge_Cheb_Conv.py:412,432)
+
+Output: sum_k T_k @ W_k + b.  TPU-first: the K per-term GEMMs are fused into
+ONE MXU matmul by concatenating the polynomial terms along the feature axis
+([N, K·C] @ [K·C, F]), and each L application is one SpMM.  Weights are
+bias-free Glorot per term like the PyG ``Linear(weight_initializer='glorot')``
+stack (reference lib/Hodge_Cheb_Conv.py:462-465), held as a single [K, C, F]
+tensor.
+
+3-D inputs [N, T, C] (fMRI time axis) flatten the trailing axes for the SpMM
+exactly like the reference's view/reshape dance (reference
+lib/Hodge_Cheb_Conv.py:493-505).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from hl_hgat_tpu.complex.batch import CooMatrix
+from hl_hgat_tpu.ops.spmm import spmm_coo
+
+Array = jnp.ndarray
+
+glorot_per_term = nn.initializers.variance_scaling(
+    scale=1.0, mode="fan_avg", distribution="uniform", in_axis=-2, out_axis=-1,
+    batch_axis=(0,),
+)
+
+
+def _lap_matvec(lap: CooMatrix) -> Callable[[Array], Array]:
+    def matvec(v: Array) -> Array:
+        flat = v.reshape(v.shape[0], -1)
+        out = spmm_coo(lap.rows, lap.cols, lap.vals, flat, lap.shape[0])
+        return out.reshape(v.shape)
+
+    return matvec
+
+
+def polynomial_terms(
+    x: Array, lap: CooMatrix, k: int, *, kind: str = "laguerre"
+) -> list[Array]:
+    """The K polynomial features [T_0(L)x, ..., T_{K-1}(L)x]."""
+    matvec = _lap_matvec(lap)
+    terms = [x]
+    if k > 1:
+        t1 = x - matvec(x) if kind == "laguerre" else matvec(x)
+        terms.append(t1)
+    if kind == "laguerre":
+        j = 1
+        for _ in range(2, k):
+            t2 = (-matvec(terms[-1]) + (2 * j + 1) * terms[-1] - j * terms[-2]) / (
+                j + 1
+            )
+            j += 1
+            terms.append(t2)
+    else:
+        for _ in range(2, k):
+            terms.append(2.0 * matvec(terms[-1]) - terms[-2])
+    return terms
+
+
+def laguerre_matvec(
+    x: Array, lap: CooMatrix, weights: Array, bias: Array | None = None
+) -> Array:
+    """Functional Laguerre filter: weights [K, C, F], x [N, C] or [N, T, C]."""
+    return _apply_poly(x, lap, weights, bias, kind="laguerre")
+
+
+def chebyshev_matvec(
+    x: Array, lap: CooMatrix, weights: Array, bias: Array | None = None
+) -> Array:
+    return _apply_poly(x, lap, weights, bias, kind="chebyshev")
+
+
+def _apply_poly(x, lap, weights, bias, *, kind):
+    k = weights.shape[0]
+    terms = polynomial_terms(x, lap, k, kind=kind)
+    # fuse the K small GEMMs into one MXU-friendly matmul
+    stacked = jnp.concatenate(terms, axis=-1)  # [N(, T), K*C]
+    w = weights.reshape(-1, weights.shape[-1])  # [K*C, F]
+    out = jnp.einsum(
+        "...c,cf->...f", stacked, w.astype(stacked.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+class LaguerreConv(nn.Module):
+    """K-term Laguerre spectral conv (reference HodgeLaguerreConv)."""
+
+    features: int
+    k: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, lap: CooMatrix) -> Array:
+        c_in = x.shape[-1]
+        w = self.param("weights", glorot_per_term, (self.k, c_in, self.features))
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return laguerre_matvec(x, lap, w, b)
+
+
+class ChebConv(nn.Module):
+    """K-term Chebyshev spectral conv (reference HodgeChebConv; shipped for
+    capability parity — no reference model instantiates it)."""
+
+    features: int
+    k: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, lap: CooMatrix) -> Array:
+        c_in = x.shape[-1]
+        w = self.param("weights", glorot_per_term, (self.k, c_in, self.features))
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return chebyshev_matvec(x, lap, w, b)

@@ -1,0 +1,61 @@
+"""Inception1D — fMRI time-course embedding (reference lib/Hodge_Cheb_Conv.py:317-362).
+
+Stem Conv1d(1→C, k=5) → inception stage 1 (1/3/5 kernels → C/4, C/2, C/4) →
+BN → LeakyReLU → MaxPool1d(3, stride 2, pad 1) → inception stage 2 (1/3/5 →
+nc, 2nc, nc) → BN → LeakyReLU; ``if_readout`` mean-pools the time axis.
+
+TPU layout: features-last [N, T, C] so the convs are NTC→lax.conv with the
+channel contraction on the MXU (torch uses [N, C, T]).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from hl_hgat_tpu.nn.norm import MaskedBatchNorm
+
+Array = jnp.ndarray
+
+
+class Inception1D(nn.Module):
+    in_channels: int = 64
+    num_channels: int = 8
+    maxpool: int = 3
+    leaky_slope: float = 0.1
+    if_readout: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        mask: Array | None = None,
+        *,
+        deterministic: bool = False,
+    ) -> Array:
+        """x: [N, T] raw time series; mask: [N] simplex validity."""
+        c = self.in_channels
+        x = x[:, :, None]  # [N, T, 1]
+        x = nn.Conv(c, (5,), padding="SAME", name="embedding")(x)
+        x1 = nn.Conv(c // 4, (1,), padding="SAME", name="channel1_1")(x)
+        x2 = nn.Conv(c // 2, (3,), padding="SAME", name="channel2_1")(x)
+        x3 = nn.Conv(c // 4, (5,), padding="SAME", name="channel3_1")(x)
+        x = jnp.concatenate([x1, x2, x3], axis=-1)
+        x = MaskedBatchNorm(c, name="bn1")(x, mask, use_running_average=deterministic)
+        x = nn.leaky_relu(x, self.leaky_slope)
+        k = self.maxpool
+        x = nn.max_pool(
+            x, window_shape=(k,), strides=(k - 1,), padding=[((k - 1) // 2,) * 2]
+        )
+        nc = self.num_channels
+        x1 = nn.Conv(nc, (1,), padding="SAME", name="channel1_2")(x)
+        x2 = nn.Conv(nc * 2, (3,), padding="SAME", name="channel2_2")(x)
+        x3 = nn.Conv(nc, (5,), padding="SAME", name="channel3_2")(x)
+        x = jnp.concatenate([x1, x2, x3], axis=-1)
+        x = MaskedBatchNorm(nc * 4, name="bn2")(
+            x, mask, use_running_average=deterministic
+        )
+        x = nn.leaky_relu(x, self.leaky_slope)
+        if self.if_readout:
+            return x.mean(axis=1)  # [N, 4*nc]
+        return x  # [N, T', 4*nc] — feeds the 3-D conv path
