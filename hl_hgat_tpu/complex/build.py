@@ -408,7 +408,11 @@ def collate(
         fn_off, fe_off = offs[lv]
         for g, s in enumerate(samples):
             c_node, c_edge = s.pools[lv]
-            pos_t[fn_off[g] : fn_off[g + 1]] = c_node.reshape(-1) + cn_off[g]
+            cn = c_node.reshape(-1).astype(np.int64).copy()
+            dropped_n = cn < 0  # isolated nodes pruned by the brain MLGC
+            cn = cn + cn_off[g]
+            cn[dropped_n] = coarse_pad.nodes  # dump slot
+            pos_t[fn_off[g] : fn_off[g + 1]] = cn
             ce = c_edge.reshape(-1).astype(np.int64).copy()
             deleted = ce < 0
             ce = ce + ce_off[g]

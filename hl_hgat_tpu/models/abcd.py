@@ -1,0 +1,78 @@
+"""Brain/ABCD model: fMRI time-series nodes + FC edges with flatten readout.
+
+Reference ``HL_HGCNN_ABCD_dense_int3_attpool`` (lib/Hodge_ST_Model.py:26-168):
+``Inception1D`` node embedding, dense-int3 trunk with attention pooling
+(gates computed from the last-layer features, multiplied into the stacks),
+K=1 conv readout to one channel per simplex, then an MLP over the flattened
+``[edges ‖ nodes]`` vector — valid because every brain graph shares one
+skeleton, so per-graph simplex counts are constant.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from hl_hgat_tpu.complex.batch import ComplexBatch
+from hl_hgat_tpu.models.backbone import BackboneConfig, DenseInt3Backbone, MLPHead
+from hl_hgat_tpu.nn.conv import LaguerreConv
+from hl_hgat_tpu.nn.inception import Inception1D
+
+Array = jnp.ndarray
+
+
+def flatten_per_graph(x: Array, num_graphs: int, per_graph: int) -> Array:
+    """[N, 1] → [G, per_graph]; relies on contiguous equal-size layout with
+    padding only at the tail (collate guarantees this for shared-skeleton
+    datasets)."""
+    return x[: num_graphs * per_graph].reshape(num_graphs, per_graph)
+
+
+class HLHGCNNAbcd(nn.Module):
+    cfg: BackboneConfig
+    mlp_channels: tuple[int, ...] = ()
+    num_classes: int = 1
+    dropout_mlp: float = 0.0
+    inception_channels: int = 64
+    inception_num_channels: int = 8
+    nodes_per_graph: int = 0  # on the final (pooled) level
+    edges_per_graph: int = 0
+
+    @nn.compact
+    def __call__(
+        self,
+        batch: ComplexBatch,
+        *,
+        deterministic: bool = False,
+        return_atts: bool = False,
+    ):
+        level0 = batch.level0
+        # x_t rows are raw time courses [N, T]
+        x_t = Inception1D(
+            in_channels=self.inception_channels,
+            num_channels=self.inception_num_channels,
+            if_readout=True,
+            name="node_embedding",
+        )(batch.x_t, level0.node_mask, deterministic=deterministic)
+        x_t = x_t * level0.node_mask[:, None]
+        feats = DenseInt3Backbone(self.cfg, name="backbone")(
+            x_t, batch.x_s, batch, deterministic=deterministic
+        )
+        level = batch.levels[feats["level_idx"]]
+        # K=1 conv readout to one channel per simplex (reference :86-91)
+        r_t = LaguerreConv(1, 1, name="readout_node")(feats["x_t"], level.l0)
+        r_s = LaguerreConv(1, 1, name="readout_edge")(feats["x_s"], level.l1)
+        x = jnp.concatenate(
+            [
+                flatten_per_graph(r_s, batch.num_graphs, self.edges_per_graph),
+                flatten_per_graph(r_t, batch.num_graphs, self.nodes_per_graph),
+            ],
+            axis=-1,
+        )
+        out = MLPHead(
+            self.mlp_channels, self.num_classes, self.cfg.act,
+            self.cfg.leaky_slope, self.dropout_mlp, name="head",
+        )(x, deterministic=deterministic)
+        if return_atts:
+            return out, feats["atts"]
+        return out

@@ -1,0 +1,284 @@
+"""The shared dense-int3 backbone + graph/edge-level model heads.
+
+Template (every reference model, SURVEY.md §2.5): HL_init_conv → per block i
+of ``channels`` with width ``filters[i]``: channels[i] × (MSI → node/edge
+Laguerre pair with BN/act/dropout → dense concat onto the running stacks) →
+optional attention gating / structural pooling → readout → MLP head.
+
+Per-model quirks are config, not code forks (reference cites inline):
+
+* ``deg_eps``: ``degree(...)+1e-6`` everywhere EXCEPT the zinc pyr/attpool
+  block loops (reference lib/Hodge_ST_Model.py:504,624 — no epsilon).
+* ``gate_input``/``gate_target``: zinc-attpool gates (x_t, x_s) and multiplies
+  them into x_t/x_s — which the following pool of x_t0 ignores (reference
+  :517-521, a faithful quirk); pepfunc gates and multiplies the stacks
+  (x_t0, x_s0) (reference main_pepfunc...py:134-136); CIFAR gates the last
+  outputs with max-normalization (reference :1060-1064).
+* ``att_locs`` vs ``pool_locs``: the pepfunc script applies attention every
+  block but pools only at pool_loc (reference main_pepfunc...py:133-149);
+  lib models gate only at pool_loc.
+* ``msi_per_layer=False`` is the poolint3 variant: convs consume the raw
+  stacks and one MSI runs per block after the convs (reference
+  lib/Hodge_ST_Model.py:649-749).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from hl_hgat_tpu.complex.batch import ComplexBatch, ComplexLevel
+from hl_hgat_tpu.nn.blocks import ConvBNAct, NEConvPair, activation
+from hl_hgat_tpu.nn.conv import LaguerreConv
+from hl_hgat_tpu.nn.interaction import NodeEdgeInt
+from hl_hgat_tpu.nn.linear import TorchLinear
+from hl_hgat_tpu.nn.norm import MaskedBatchNorm
+from hl_hgat_tpu.nn.pool import global_mean_pool, sapool_scatter
+from hl_hgat_tpu.ops.boundary import boundary_t2s
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneConfig:
+    channels: tuple[int, ...] = (2, 2, 2, 2)
+    filters: tuple[int, ...] = (64, 128, 256, 512)
+    k: int = 2
+    init_k: int = 2  # K of HL_init_conv (1 for zinc-script/CIFAR/pepfunc-att)
+    act: str = "relu"
+    leaky_slope: float = 0.1
+    dropout: float = 0.0
+    deg_eps: float = 1e-6
+    msi_per_layer: bool = True
+    # attention / pooling
+    pool_locs: tuple[int, ...] = ()
+    att_locs: tuple[int, ...] = ()
+    att_sigma: str = "sigmoid"
+    att_lam: float = 0.9
+    att_dk: int = 32
+    gate_input: str = "last"  # 'last' (x_t, x_s) | 'stack' (x_t0, x_s0)
+    gate_target: str = "stack"  # 'stack' | 'last'
+    max_normalize_gates: bool = False
+
+
+class DenseInt3Backbone(nn.Module):
+    """Shared trunk; returns last-layer features, stacks, final level index,
+    and any attention maps (for visualization parity, reference
+    lib/Hodge_ST_Model.py:1089-1090)."""
+
+    cfg: BackboneConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x_t: Array,
+        x_s: Array,
+        batch: ComplexBatch,
+        *,
+        deterministic: bool = False,
+    ):
+        cfg = self.cfg
+        level = batch.levels[0]
+        deg = level.deg + cfg.deg_eps
+
+        # HL_init_conv (reference lib/Hodge_ST_Model.py:556-568)
+        x_t = ConvBNAct(
+            cfg.filters[0], cfg.init_k, cfg.act, cfg.leaky_slope, cfg.dropout,
+            name="init_node",
+        )(x_t, level.l0, level.node_mask, deterministic=deterministic)
+        x_s = ConvBNAct(
+            cfg.filters[0], cfg.init_k, cfg.act, cfg.leaky_slope, cfg.dropout,
+            name="init_edge",
+        )(x_s, level.l1, level.edge_mask, deterministic=deterministic)
+        x_t0, x_s0 = x_t, x_s
+
+        k = 0  # pooling level index
+        atts: list[tuple[Array, Array]] = []
+        for i, width in enumerate(cfg.filters):
+            for j in range(cfg.channels[i]):
+                if cfg.msi_per_layer:
+                    x_t, x_s = NodeEdgeInt(
+                        dv=width, lam=cfg.att_lam, name=f"NEInt{i}{j}"
+                    )(x_t0, x_s0, level, deg, deterministic=deterministic)
+                    x_t, x_s = NEConvPair(
+                        width, cfg.k, cfg.act, cfg.leaky_slope, cfg.dropout,
+                        name=f"NEConv{i}{j}",
+                    )(x_t, x_s, level, deterministic=deterministic)
+                else:
+                    x_t, x_s = NEConvPair(
+                        width, cfg.k, cfg.act, cfg.leaky_slope, cfg.dropout,
+                        name=f"NEConv{i}{j}",
+                    )(x_t0, x_s0, level, deterministic=deterministic)
+                x_t0 = jnp.concatenate([x_t0, x_t], axis=-1)
+                x_s0 = jnp.concatenate([x_s0, x_s], axis=-1)
+
+            if not cfg.msi_per_layer:
+                # poolint3: one MSI per block after the convs (reference
+                # lib/Hodge_ST_Model.py:737-740)
+                x_t, x_s = NodeEdgeInt(dv=width, name=f"NEInt{i}")(
+                    x_t0, x_s0, level, deg, deterministic=deterministic
+                )
+                x_t0 = jnp.concatenate([x_t0, x_t], axis=-1)
+                x_s0 = jnp.concatenate([x_s0, x_s], axis=-1)
+
+            gated_here = i in cfg.att_locs or i in cfg.pool_locs
+            if gated_here:
+                g_in_t, g_in_s = (
+                    (x_t, x_s) if cfg.gate_input == "last" else (x_t0, x_s0)
+                )
+                a_t, a_s = NodeEdgeInt(
+                    dk=cfg.att_dk, only_att=True, sigma=cfg.att_sigma,
+                    lam=cfg.att_lam, name=f"NEAtt{i}",
+                )(g_in_t, g_in_s, level, deg, deterministic=deterministic)
+                if cfg.max_normalize_gates:
+                    a_t = a_t / jnp.maximum(jnp.max(a_t), 1e-12)
+                    a_s = a_s / jnp.maximum(jnp.max(a_s), 1e-12)
+                atts.append((a_t, a_s))
+                if cfg.gate_target == "stack":
+                    x_t0 = x_t0 * a_t
+                    x_s0 = x_s0 * a_s
+                else:
+                    x_t = x_t * a_t
+                    x_s = x_s * a_s
+
+            if i in cfg.pool_locs:
+                coarse = batch.levels[k + 1]
+                x_t0, x_s0 = sapool_scatter(
+                    x_t0, x_s0, batch.pools[k], level, coarse
+                )
+                k += 1
+                level = coarse
+                deg = level.deg + cfg.deg_eps
+
+        return dict(
+            x_t=x_t, x_s=x_s, x_t0=x_t0, x_s0=x_s0, level_idx=k, atts=atts
+        )
+
+
+class MLPHead(nn.Module):
+    """Linear→BN→act→dropout stack + output Linear (reference
+    lib/Hodge_ST_Model.py:595-605)."""
+
+    mlp_channels: tuple[int, ...]
+    num_classes: int
+    act: str = "relu"
+    leaky_slope: float = 0.1
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self, x: Array, *, deterministic: bool = False, return_latent: bool = False
+    ):
+        for i, width in enumerate(self.mlp_channels):
+            x = TorchLinear(width, name=f"mlp{i}_lin")(x)
+            x = MaskedBatchNorm(width, name=f"mlp{i}_bn")(
+                x, use_running_average=deterministic
+            )
+            x = activation(self.act, self.leaky_slope)(x)
+            if self.dropout > 0:
+                x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        out = TorchLinear(self.num_classes, name="out")(x)
+        if return_latent:
+            return out, x
+        return out
+
+
+class HLHGCNNGraph(nn.Module):
+    """Graph-level model: backbone → mean-pool concat [edges ‖ nodes] → MLP.
+
+    Covers zinc pyr/attpool/poolint3, pepfunc pyr/attpool, CIFAR10-SP
+    pyr/attpool via `BackboneConfig` (presets.py).  ``embed_sizes`` enables
+    the zinc script variant's ``nn.Embedding`` inputs (reference
+    main_zinc...py:52-53,120-121 — which reuses the *node* table for edges).
+    """
+
+    cfg: BackboneConfig
+    mlp_channels: tuple[int, ...] = ()
+    num_classes: int = 1
+    dropout_mlp: float = 0.0
+    embed_num: int = 0  # vocabulary of the shared embedding table (0 = off)
+    embed_dim: int = 0
+
+    @nn.compact
+    def __call__(
+        self,
+        batch: ComplexBatch,
+        *,
+        deterministic: bool = False,
+        return_atts: bool = False,
+        return_latent: bool = False,
+    ):
+        x_t, x_s = batch.x_t, batch.x_s
+        if self.embed_num:
+            table = nn.Embed(self.embed_num, self.embed_dim, name="node_embedding")
+            x_t = jnp.concatenate(
+                [table(x_t[:, 0].astype(jnp.int32)), x_t[:, 1:]], axis=-1
+            )
+            # reference quirk: edge ids go through the node table too
+            x_s = jnp.concatenate(
+                [table(x_s[:, 0].astype(jnp.int32)), x_s[:, 1:]], axis=-1
+            )
+            x_t = x_t * batch.level0.node_mask[:, None]
+            x_s = x_s * batch.level0.edge_mask[:, None]
+        feats = DenseInt3Backbone(self.cfg, name="backbone")(
+            x_t, x_s, batch, deterministic=deterministic
+        )
+        level = batch.levels[feats["level_idx"]]
+        pooled = jnp.concatenate(
+            [
+                global_mean_pool(
+                    feats["x_s"], level.s_id, batch.num_graphs, level.edge_mask
+                ),
+                global_mean_pool(
+                    feats["x_t"], level.n_id, batch.num_graphs, level.node_mask
+                ),
+            ],
+            axis=-1,
+        )
+        out = MLPHead(
+            self.mlp_channels, self.num_classes, self.cfg.act,
+            self.cfg.leaky_slope, self.dropout_mlp, name="head",
+        )(pooled, deterministic=deterministic)
+        extras = {}
+        if return_atts:
+            extras["atts"] = feats["atts"]
+        if return_latent:
+            extras["latent"] = pooled
+        return (out, extras) if extras else out
+
+
+class HLHGCNNTsp(nn.Module):
+    """Edge-level model (reference HL_HGCNN_TSP_dense_int3_pyr,
+    lib/Hodge_ST_Model.py:756-852): readout concatenates x_s with
+    |B1ᵀ x_t|/2 and applies edge-wise K=1 Laguerre-conv layers; logits are
+    multiplied by the augmentation edge mask carried in x_s's last column."""
+
+    cfg: BackboneConfig
+    mlp_channels: tuple[int, ...] = ()
+    num_classes: int = 1
+
+    @nn.compact
+    def __call__(self, batch: ComplexBatch, *, deterministic: bool = False):
+        level = batch.level0
+        x_s, aug_mask = batch.x_s[:, :-1], batch.x_s[:, -1:]
+        feats = DenseInt3Backbone(self.cfg, name="backbone")(
+            batch.x_t, x_s, batch, deterministic=deterministic
+        )
+        x_t, x_s = feats["x_t"], feats["x_s"]
+        # abs AFTER the product (reference lib/Hodge_ST_Model.py:848)
+        x_t2s = (
+            jnp.abs(
+                boundary_t2s(x_t, level.src, level.dst, edge_mask=level.edge_mask)
+            )
+            / 2.0
+        )
+        x_s = jnp.concatenate([x_s, x_t2s], axis=-1)
+        if len(self.mlp_channels) == 1:
+            x_s = ConvBNAct(
+                self.mlp_channels[0], 1, self.cfg.act, self.cfg.leaky_slope,
+                self.cfg.dropout, name="mlp",
+            )(x_s, level.l1, level.edge_mask, deterministic=deterministic)
+        logits = LaguerreConv(self.num_classes, 1, name="out")(x_s, level.l1)
+        return logits * aug_mask

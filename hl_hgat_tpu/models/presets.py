@@ -1,0 +1,233 @@
+"""Reference-model presets: each entry reproduces one reference class /
+training-script configuration (constructor defaults + main-script CLI
+defaults), with every documented quirk wired in.
+
+Factory functions return (module, metadata) ready to ``init``/``apply`` on a
+`ComplexBatch`.
+"""
+
+from __future__ import annotations
+
+from hl_hgat_tpu.models.abcd import HLHGCNNAbcd
+from hl_hgat_tpu.models.backbone import BackboneConfig, HLHGCNNGraph, HLHGCNNTsp
+from hl_hgat_tpu.models.hgat import HLHGATAttpool
+
+# ---------------------------------------------------------------------------
+# ZINC (reference lib/Hodge_ST_Model.py:544-646; script main_zinc...py:43-149)
+# ---------------------------------------------------------------------------
+
+
+def zinc_pyr(
+    channels=(2, 3, 3),
+    filters=(64, 128, 256),
+    k=6,
+    keig=15,
+    dropout=0.0,
+    mlp_channels=(256, 256),
+    use_embedding=True,
+):
+    """Script variant: shared nn.Embedding(28) inputs, init conv K=1, no
+    degree epsilon (reference main_zinc...py:52-53,58,127)."""
+    cfg = BackboneConfig(
+        channels=tuple(channels),
+        filters=tuple(filters),
+        k=k,
+        init_k=1 if use_embedding else k,
+        act="relu",
+        dropout=dropout,
+        deg_eps=0.0,  # reference quirk (lib/Hodge_ST_Model.py:624)
+    )
+    model = HLHGCNNGraph(
+        cfg=cfg,
+        mlp_channels=tuple(mlp_channels),
+        num_classes=1,
+        embed_num=28 if use_embedding else 0,
+        embed_dim=(filters[0] - keig) if use_embedding else 0,
+    )
+    return model, dict(task="regression", y_mean=0.0153, y_std=2.0109)
+
+
+def zinc_attpool(
+    channels=(2, 2, 2, 2), filters=(64, 128, 256, 512), k=2, keig=7,
+    dropout=0.0, mlp_channels=(),
+):
+    """reference lib/Hodge_ST_Model.py:412-541 — ReLU gates computed from and
+    applied to the LAST layer outputs (while the pool moves the stacks;
+    faithful quirk, reference :517-521)."""
+    cfg = BackboneConfig(
+        channels=tuple(channels), filters=tuple(filters), k=k, init_k=k,
+        act="relu", dropout=dropout, deg_eps=0.0,
+        pool_locs=(0,), att_sigma="relu", gate_input="last", gate_target="last",
+    )
+    return HLHGCNNGraph(cfg=cfg, mlp_channels=tuple(mlp_channels)), dict(
+        task="regression", y_mean=0.0153, y_std=2.0109
+    )
+
+
+def zinc_poolint3_pyr(
+    channels=(2, 2, 2, 2), filters=(64, 128, 256, 512), k=2, dropout=0.0,
+    mlp_channels=(),
+):
+    """reference lib/Hodge_ST_Model.py:649-749 — MSI once per block after the
+    convs."""
+    cfg = BackboneConfig(
+        channels=tuple(channels), filters=tuple(filters), k=k, init_k=k,
+        act="relu", dropout=dropout, deg_eps=0.0, msi_per_layer=False,
+    )
+    return HLHGCNNGraph(cfg=cfg, mlp_channels=tuple(mlp_channels)), dict(
+        task="regression", y_mean=0.0153, y_std=2.0109
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peptides-func (reference lib/Hodge_ST_Model.py:173-407; main_pepfunc...py)
+# ---------------------------------------------------------------------------
+
+
+def pepfunc_attpool(
+    channels=(2, 2, 2),
+    filters=(64, 128, 256),
+    k=6,
+    keig=10,
+    dropout=0.25,
+    mlp_channels=(256,),
+    pool_loc=1,
+    script_variant=True,
+):
+    """10-way multilabel.  Script variant gates the stacks EVERY block and
+    pools at pool_loc (reference main_pepfunc...py:133-149); lib variant
+    gates only at pool_loc (reference lib/Hodge_ST_Model.py:276-290)."""
+    n_blocks = len(channels)
+    cfg = BackboneConfig(
+        channels=tuple(channels), filters=tuple(filters), k=k, init_k=1,
+        act="relu", dropout=dropout, deg_eps=1e-6,
+        pool_locs=(pool_loc,),
+        att_locs=tuple(range(n_blocks)) if script_variant else (),
+        att_sigma="sigmoid", gate_input="stack", gate_target="stack",
+    )
+    return HLHGCNNGraph(
+        cfg=cfg, mlp_channels=tuple(mlp_channels), num_classes=10
+    ), dict(task="multilabel")
+
+
+def pepfunc_pyr(
+    channels=(2, 2, 2, 2), filters=(64, 128, 256, 512), k=2, dropout=0.0,
+    mlp_channels=(),
+):
+    """reference lib/Hodge_ST_Model.py:307-407 (no pooling; init conv K=K)."""
+    cfg = BackboneConfig(
+        channels=tuple(channels), filters=tuple(filters), k=k, init_k=k,
+        act="relu", dropout=dropout, deg_eps=1e-6,
+    )
+    return HLHGCNNGraph(
+        cfg=cfg, mlp_channels=tuple(mlp_channels), num_classes=10
+    ), dict(task="multilabel")
+
+
+# ---------------------------------------------------------------------------
+# TSP (reference lib/Hodge_ST_Model.py:756-852; main_TSP...py)
+# ---------------------------------------------------------------------------
+
+
+def tsp_pyr(
+    channels=(4, 4, 4), filters=(32, 64, 128), k=4, dropout=0.25,
+    mlp_channels=(256,),
+):
+    cfg = BackboneConfig(
+        channels=tuple(channels), filters=tuple(filters), k=k, init_k=k,
+        act="relu", dropout=dropout, deg_eps=1e-6,
+    )
+    return HLHGCNNTsp(cfg=cfg, mlp_channels=tuple(mlp_channels)), dict(
+        task="edge_binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CIFAR10 superpixels (reference lib/Hodge_ST_Model.py:858-1091)
+# ---------------------------------------------------------------------------
+
+
+def cifar10sp_pyr(
+    channels=(2, 2, 2, 2), filters=(64, 128, 256, 512), k=2, keig=10,
+    dropout=0.0, mlp_channels=(), lam=0.9,
+):
+    cfg = BackboneConfig(
+        channels=tuple(channels), filters=tuple(filters), k=k, init_k=1,
+        act="relu", dropout=dropout, deg_eps=1e-6, att_lam=lam,
+    )
+    return HLHGCNNGraph(
+        cfg=cfg, mlp_channels=tuple(mlp_channels), num_classes=10
+    ), dict(task="classification")
+
+
+def cifar10sp_attpool(
+    channels=(2, 2, 2), filters=(64, 128, 256), k=4, keig=10, dropout=0.25,
+    mlp_channels=(256,), lam=0.5,
+):
+    """ReLU gates, max-normalized, applied to the last outputs (reference
+    lib/Hodge_ST_Model.py:1058-1064); λ = 0.5."""
+    cfg = BackboneConfig(
+        channels=tuple(channels), filters=tuple(filters), k=k, init_k=1,
+        act="relu", dropout=dropout, deg_eps=1e-6,
+        pool_locs=(0,), att_sigma="relu", att_lam=lam,
+        gate_input="last", gate_target="last", max_normalize_gates=True,
+    )
+    return HLHGCNNGraph(
+        cfg=cfg, mlp_channels=tuple(mlp_channels), num_classes=10
+    ), dict(task="classification")
+
+
+# ---------------------------------------------------------------------------
+# Brain (reference lib/Hodge_ST_Model.py:26-168;
+# HL-HGAT-DEMO/lib/Hodge_Cheb_Conv.py:250-399)
+# ---------------------------------------------------------------------------
+
+
+def abcd_attpool(
+    channels=(2, 2, 2), filters=(64, 128, 256), k=2, dropout=0.0,
+    mlp_channels=(), nodes_per_graph=0, edges_per_graph=0,
+):
+    cfg = BackboneConfig(
+        channels=tuple(channels), filters=tuple(filters), k=k, init_k=k,
+        act="leaky_relu", dropout=dropout, deg_eps=1e-6,
+        pool_locs=(0,), att_sigma="sigmoid", gate_input="last",
+        gate_target="stack",
+    )
+    return HLHGCNNAbcd(
+        cfg=cfg, mlp_channels=tuple(mlp_channels),
+        nodes_per_graph=nodes_per_graph, edges_per_graph=edges_per_graph,
+    ), dict(task="regression", y_mean=95.1377, y_std=7.3)
+
+
+def hgat_attpool(
+    channels=(2, 2, 2), filters=(32, 64, 128), k=4, dropout=0.0,
+    mlp_channels=(), pool_num=2, nodes_per_graph=0, edges_per_graph=0,
+    fine_nodes_per_graph=0, fine_edges_per_graph=0, use_inception=True,
+):
+    cfg = BackboneConfig(
+        channels=tuple(channels), filters=tuple(filters), k=k, init_k=k,
+        act="leaky_relu", dropout=dropout, deg_eps=1e-6,
+        pool_locs=tuple(range(pool_num)), att_sigma="sigmoid",
+        gate_input="stack", gate_target="stack",
+    )
+    return HLHGATAttpool(
+        cfg=cfg, mlp_channels=tuple(mlp_channels),
+        nodes_per_graph=nodes_per_graph, edges_per_graph=edges_per_graph,
+        fine_nodes_per_graph=fine_nodes_per_graph,
+        fine_edges_per_graph=fine_edges_per_graph,
+        use_inception=use_inception,
+    ), dict(task="regression", y_mean=95.1377, y_std=7.3)
+
+
+PRESETS = {
+    "zinc_pyr": zinc_pyr,
+    "zinc_attpool": zinc_attpool,
+    "zinc_poolint3_pyr": zinc_poolint3_pyr,
+    "pepfunc_attpool": pepfunc_attpool,
+    "pepfunc_pyr": pepfunc_pyr,
+    "tsp_pyr": tsp_pyr,
+    "cifar10sp_pyr": cifar10sp_pyr,
+    "cifar10sp_attpool": cifar10sp_attpool,
+    "abcd_attpool": abcd_attpool,
+    "hgat_attpool": hgat_attpool,
+}

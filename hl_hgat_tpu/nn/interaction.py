@@ -51,7 +51,10 @@ def cross_simplex(
     s2t = boundary_abs_s2t(
         x_s, level.src, level.dst, level.num_nodes, edge_mask=level.edge_mask
     )
-    x_s2t = s2t / deg[:, None].astype(s2t.dtype)
+    # Padded/isolated nodes have deg == 0 when the model's deg_eps is 0 (the
+    # zinc quirk): guard the division — the numerator is 0 there anyway.
+    safe_deg = jnp.where(deg > 0, deg, 1.0)
+    x_s2t = s2t / safe_deg[:, None].astype(s2t.dtype)
     x_t2s = (
         boundary_abs_t2s(x_t, level.src, level.dst, edge_mask=level.edge_mask) / 2.0
     )

@@ -1,0 +1,187 @@
+"""Forward/backward smoke + shape checks for every reference model preset."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hl_hgat_tpu.data.synthetic import (
+    synthetic_brain_batch,
+    synthetic_tsp_batch,
+    synthetic_zinc_batch,
+)
+from hl_hgat_tpu.models import presets
+
+
+def to_device(batch):
+    return jax.tree.map(jnp.asarray, batch)
+
+
+def init_and_forward(model, batch, **kw):
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, deterministic=True, **kw,
+    )
+    out = model.apply(variables, batch, deterministic=True, **kw)
+    return variables, out
+
+
+def loss_and_grads(model, variables, batch):
+    def loss_fn(params):
+        out = model.apply(
+            {**variables, "params": params}, batch,
+            deterministic=False, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(2)},
+        )[0]
+        if isinstance(out, tuple):
+            out = out[0]
+        return jnp.sum(out**2)
+
+    val, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    leaves = jax.tree.leaves(grads)
+    return val, leaves
+
+
+class TestGraphModels:
+    def test_zinc_pyr_embedding(self):
+        batch = to_device(synthetic_zinc_batch(4, keig=16, embed_ids=True))
+        model, meta = presets.zinc_pyr(
+            channels=(1, 1), filters=(16, 32), k=3, keig=8,
+            mlp_channels=(16,),
+        )
+        variables, out = init_and_forward(model, batch)
+        assert out.shape == (4, 1)
+        val, leaves = loss_and_grads(model, variables, batch)
+        assert np.isfinite(float(val))
+        assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+
+    def test_zinc_attpool(self):
+        batch = to_device(synthetic_zinc_batch(4, keig=8, num_pool=1))
+        model, _ = presets.zinc_attpool(
+            channels=(1, 1), filters=(8, 16), k=2, mlp_channels=(8,)
+        )
+        variables, out = init_and_forward(model, batch)
+        assert out.shape == (4, 1)
+        val, leaves = loss_and_grads(model, variables, batch)
+        assert np.isfinite(float(val))
+
+    def test_zinc_poolint3(self):
+        batch = to_device(synthetic_zinc_batch(3, keig=8))
+        model, _ = presets.zinc_poolint3_pyr(
+            channels=(1, 1), filters=(8, 16), k=2
+        )
+        variables, out = init_and_forward(model, batch)
+        assert out.shape == (3, 1)
+
+    def test_pepfunc_attpool_script_variant(self):
+        batch = to_device(synthetic_zinc_batch(4, keig=8, num_pool=1))
+        # pool at a non-final block (the reference never pools at the last
+        # block: its readout uses the post-pool coarse segment ids)
+        model, meta = presets.pepfunc_attpool(
+            channels=(1, 1, 1), filters=(8, 16, 16), k=2, pool_loc=1,
+            mlp_channels=(8,),
+        )
+        assert meta["task"] == "multilabel"
+        variables, out = init_and_forward(model, batch)
+        assert out.shape == (4, 10)
+        val, leaves = loss_and_grads(model, variables, batch)
+        assert np.isfinite(float(val))
+
+    def test_cifar_attpool_returns_atts(self):
+        batch = to_device(synthetic_zinc_batch(4, keig=8, num_pool=1))
+        model, _ = presets.cifar10sp_attpool(
+            channels=(1, 1), filters=(8, 16), k=2, mlp_channels=(8,)
+        )
+        variables = model.init(
+            {"params": jax.random.key(0)}, batch, deterministic=True
+        )
+        out, extras = model.apply(
+            variables, batch, deterministic=True, return_atts=True
+        )
+        assert out.shape == (4, 10)
+        (a_t, a_s), = extras["atts"]
+        # max-normalized ReLU gates
+        assert float(jnp.max(a_t)) <= 1.0 + 1e-5
+        assert float(jnp.min(a_t)) >= 0.0
+
+
+class TestTsp:
+    def test_edge_level_output_masked(self):
+        batch = to_device(synthetic_tsp_batch(2))
+        model, _ = presets.tsp_pyr(
+            channels=(1, 1), filters=(8, 16), k=2, mlp_channels=(16,)
+        )
+        variables, out = init_and_forward(model, batch)
+        lvl = batch.levels[0]
+        assert out.shape == (lvl.num_edges, 1)
+        # padded edges have aug_mask 0 => logits exactly 0
+        pad = np.asarray(lvl.edge_mask) == 0
+        np.testing.assert_allclose(np.asarray(out)[pad], 0.0)
+        val, leaves = loss_and_grads(model, variables, batch)
+        assert np.isfinite(float(val))
+
+
+class TestBrain:
+    def test_abcd_attpool(self):
+        batch, n_f, e_f = synthetic_brain_batch(3, n_rois=24, t_len=32,
+                                                num_pool=1)
+        batch = to_device(batch)
+        model, _ = presets.abcd_attpool(
+            channels=(1, 1), filters=(8, 16), k=2,
+            nodes_per_graph=n_f, edges_per_graph=e_f, mlp_channels=(8,),
+        )
+        variables, out = init_and_forward(model, batch)
+        assert out.shape == (3, 1)
+        val, leaves = loss_and_grads(model, variables, batch)
+        assert np.isfinite(float(val))
+
+    def test_hgat_attpool_returns_quadruple(self):
+        batch, n_f, e_f = synthetic_brain_batch(2, n_rois=24, t_len=32,
+                                                num_pool=2)
+        fine = batch.levels[0]
+        n0 = int(np.asarray(fine.node_mask).sum()) // 2
+        e0 = int(np.asarray(fine.edge_mask).sum()) // 2
+        batch = to_device(batch)
+        model, _ = presets.hgat_attpool(
+            channels=(1, 1, 1), filters=(8, 8, 16), k=2, pool_num=2,
+            nodes_per_graph=n_f, edges_per_graph=e_f,
+            fine_nodes_per_graph=n0, fine_edges_per_graph=e0,
+            mlp_channels=(8,),
+        )
+        variables = model.init(
+            {"params": jax.random.key(0)}, batch, deterministic=True
+        )
+        pred, latent, node_att, edge_att = model.apply(
+            variables, batch, deterministic=True
+        )
+        assert pred.shape == (2, 1)
+        assert latent.shape == (2, 8)
+        assert node_att.shape == (2, n0)
+        assert edge_att.shape == (2, e0)
+
+
+class TestPaddingInvariance:
+    def test_prediction_invariant_to_batch_padding(self):
+        """Core static-shape guarantee: the same graph produces the same
+        prediction regardless of how much padding the batch carries."""
+        from hl_hgat_tpu.complex.build import LevelPad, collate, pad_spec
+        from hl_hgat_tpu.data.synthetic import random_simplex_sample
+
+        rng = np.random.default_rng(3)
+        s = random_simplex_sample(rng, n_nodes=12, node_feat=4, edge_feat=4,
+                                  keig=4)
+        tight = collate([s])
+        pads = pad_spec([s])
+        loose = collate(
+            [s],
+            [LevelPad(pads[0].nodes + 64, pads[0].edges + 64,
+                      pads[0].nnz0 + 128, pads[0].nnz1 + 128)],
+        )
+        model, _ = presets.pepfunc_pyr(channels=(1,), filters=(8,), k=3)
+        v = model.init(
+            {"params": jax.random.key(0)}, to_device(tight),
+            deterministic=True,
+        )
+        out_tight = model.apply(v, to_device(tight), deterministic=True)
+        out_loose = model.apply(v, to_device(loose), deterministic=True)
+        np.testing.assert_allclose(out_tight, out_loose, rtol=1e-4, atol=1e-5)
