@@ -1,0 +1,119 @@
+"""Benchmark: edges/s/chip on the flagship ZINC training step (fwd+bwd+opt).
+
+Prints ONE JSON line:
+  {"metric": "edges_per_sec", "value": N, "unit": "edges/s", "vs_baseline": R}
+
+Metric definition (BASELINE.md): throughput of real (unpadded) 1-simplices
+through the full training step — forward (2 MSI boundary products + 2(K−1)
+Laplacian SpMMs + 6 GEMMs per layer, reference cost model
+lib/Hodge_Cheb_Conv.py:100-101,494-507), backward, Adam update.
+
+``vs_baseline`` divides by an engineering estimate of the A100 PyTorch/PyG
+reference's end-to-end training throughput for the same model family
+(~1.0e6 edges/s fwd+bwd at these widths — scatter-bound; the reference
+publishes no number, BASELINE.md).  The north-star target is vs_baseline ≥ 2.
+
+Run on the single real TPU chip.  The tunnel adds ~30 ms per dispatch, so the
+timed region is a lax.scan of many steps inside one jit call.  A persistent
+compilation cache keeps repeat runs fast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# A100 PyG reference estimate (edges/s, fwd+bwd, ZINC widths) — see module
+# docstring.  No published number exists; this constant is the comparison
+# denominator recorded alongside the measurement.
+BASELINE_EDGES_PER_SEC = 1.0e6
+
+STEPS_PER_CALL = 10
+TIMED_CALLS = 3
+BATCH_GRAPHS = 256
+
+
+def main() -> None:
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
+
+    from hl_hgat_tpu.data import synthetic_zinc_batch
+    from hl_hgat_tpu.models import presets
+    from hl_hgat_tpu.train import Trainer, TrainerConfig
+
+    model, meta = presets.zinc_pyr(
+        channels=(2, 3, 3), filters=(64, 128, 256), k=6, keig=15,
+        mlp_channels=(256, 256),
+    )
+    batch = synthetic_zinc_batch(BATCH_GRAPHS, seed=0, keig=16, embed_ids=True)
+    real_edges = int(np.asarray(batch.levels[0].edge_mask).sum())
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    trainer = Trainer(
+        model, TrainerConfig(task="regression", lr=1e-3, weight_decay=1e-3)
+    )
+    state = trainer.init_state(batch)
+
+    inner = trainer._train_step_impl
+
+    def multi_step(state, batch):
+        def body(s, _):
+            s, loss = inner(s, batch)
+            return s, loss
+
+        return jax.lax.scan(body, state, None, length=STEPS_PER_CALL)
+
+    multi_step = jax.jit(multi_step, donate_argnums=(0,))
+
+    # warmup / compile
+    t0 = time.time()
+    state, losses = multi_step(state, batch)
+    jax.block_until_ready(losses)
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(TIMED_CALLS):
+        t0 = time.time()
+        state, losses = multi_step(state, batch)
+        jax.block_until_ready(losses)
+        times.append(time.time() - t0)
+
+    best = min(times)
+    steps_per_sec = STEPS_PER_CALL / best
+    edges_per_sec = real_edges * steps_per_sec
+    result = {
+        "metric": "edges_per_sec",
+        "value": round(edges_per_sec, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_sec / BASELINE_EDGES_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            dict(
+                detail=dict(
+                    backend=jax.default_backend(),
+                    batch_graphs=BATCH_GRAPHS,
+                    real_edges_per_batch=real_edges,
+                    steps_per_sec=round(steps_per_sec, 2),
+                    compile_s=round(compile_s, 1),
+                    call_times_s=[round(t, 3) for t in times],
+                    final_loss=float(np.asarray(losses)[-1]),
+                )
+            )
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Bucketed batch loader.
+
+Replaces the PyG ragged ``DataLoader`` + CPU worker pool (reference
+main_zinc...py:223-225): samples are grouped into a small set of fixed pad
+buckets so the jitted step compiles once per bucket, shuffled per epoch, and
+collated host-side (optionally by the C++ collator when built).
+
+Bucketing policy (SURVEY.md §7 hard-part 2): pick bucket boundaries from the
+size distribution's quantiles, pad each batch to its bucket's precomputed
+maxima.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from hl_hgat_tpu.complex.batch import ComplexBatch
+from hl_hgat_tpu.complex.build import GraphSample, LevelPad, collate
+
+
+def _sample_cost(s: GraphSample) -> int:
+    return s.num_nodes + s.num_edges
+
+
+@dataclasses.dataclass
+class BucketedLoader:
+    samples: Sequence[GraphSample]
+    batch_size: int
+    shuffle: bool = True
+    num_buckets: int = 1
+    y_per_edge: bool = False
+    pad_multiple: int = 8
+    pad_slack: float = 1.0
+    seed: int = 0
+
+    def __post_init__(self):
+        costs = np.asarray([_sample_cost(s) for s in self.samples])
+        if self.num_buckets > 1:
+            qs = np.quantile(
+                costs, np.linspace(0, 1, self.num_buckets + 1)[1:-1]
+            )
+            self._bucket_of = np.searchsorted(qs, costs)
+        else:
+            self._bucket_of = np.zeros(len(self.samples), np.int64)
+        # per-bucket pad spec = maxima over the worst-case batch of that
+        # bucket (top batch_size samples by each resource)
+        self._pads: list[list[LevelPad]] = []
+        depth = len(self.samples[0].levels)
+        for b in range(self.num_buckets):
+            idx = np.nonzero(self._bucket_of == b)[0]
+            members = [self.samples[i] for i in idx] or list(self.samples)
+            pads = []
+            for lv in range(depth):
+                def worst(key):
+                    vals = sorted((key(s.levels[lv]) for s in members),
+                                  reverse=True)
+                    total = sum(vals[: self.batch_size])
+                    # buckets smaller than batch_size get filled with their
+                    # smallest member — account for those copies
+                    if len(vals) < self.batch_size:
+                        total += (self.batch_size - len(vals)) * vals[-1]
+                    return int(total * self.pad_slack)
+
+                rnd = lambda x: max(  # noqa: E731
+                    -(-x // self.pad_multiple) * self.pad_multiple,
+                    self.pad_multiple,
+                )
+                pads.append(
+                    LevelPad(
+                        nodes=rnd(worst(lambda l: l.num_nodes)),
+                        edges=rnd(worst(lambda l: l.num_edges)),
+                        nnz0=rnd(worst(lambda l: l.l0_rows.size)),
+                        nnz1=rnd(worst(lambda l: l.l1_rows.size)),
+                    )
+                )
+            self._pads.append(pads)
+        # per-bucket smallest member: safe filler for short final batches
+        # (chunk-sum + (B−k)·min ≤ top-B sum, so pad specs always hold)
+        self._filler: list[GraphSample] = []
+        for b in range(self.num_buckets):
+            idx = np.nonzero(self._bucket_of == b)[0]
+            members = [self.samples[i] for i in idx] or list(self.samples)
+            self._filler.append(min(members, key=_sample_cost))
+        self._epoch = 0
+
+    @property
+    def pad_specs(self) -> list[list[LevelPad]]:
+        return self._pads
+
+    def __len__(self) -> int:
+        return -(-len(self.samples) // self.batch_size)
+
+    def __iter__(self) -> Iterator[ComplexBatch]:
+        rng = np.random.default_rng(self.seed + self._epoch)
+        self._epoch += 1
+        order = np.arange(len(self.samples))
+        if self.shuffle:
+            rng.shuffle(order)
+        # group by bucket, emit fixed-size batches per bucket
+        for b in range(self.num_buckets):
+            members = order[self._bucket_of[order] == b]
+            for i in range(0, len(members), self.batch_size):
+                chunk = members[i : i + self.batch_size]
+                if len(chunk) == 0:
+                    continue
+                batch_samples = [self.samples[j] for j in chunk]
+                # keep num_graphs static: fill short final batches with the
+                # bucket's smallest sample (duplicates only bias the final
+                # partial batch; evaluation should use batch_size | N)
+                while len(batch_samples) < self.batch_size:
+                    batch_samples.append(self._filler[b])
+                yield collate(
+                    batch_samples, self._pads[b], y_per_edge=self.y_per_edge
+                )

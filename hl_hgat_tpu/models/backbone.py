@@ -82,6 +82,7 @@ class DenseInt3Backbone(nn.Module):
         cfg = self.cfg
         level = batch.levels[0]
         deg = level.deg + cfg.deg_eps
+        snapshots: list[tuple[Array, Array]] = []
 
         # HL_init_conv (reference lib/Hodge_ST_Model.py:556-568)
         x_t = ConvBNAct(
@@ -113,6 +114,7 @@ class DenseInt3Backbone(nn.Module):
                     )(x_t0, x_s0, level, deterministic=deterministic)
                 x_t0 = jnp.concatenate([x_t0, x_t], axis=-1)
                 x_s0 = jnp.concatenate([x_s0, x_s], axis=-1)
+                snapshots.append((x_t, x_s))
 
             if not cfg.msi_per_layer:
                 # poolint3: one MSI per block after the convs (reference
@@ -153,7 +155,10 @@ class DenseInt3Backbone(nn.Module):
                 deg = level.deg + cfg.deg_eps
 
         return dict(
-            x_t=x_t, x_s=x_s, x_t0=x_t0, x_s0=x_s0, level_idx=k, atts=atts
+            x_t=x_t, x_s=x_s, x_t0=x_t0, x_s0=x_s0, level_idx=k, atts=atts,
+            # per-layer (x_t, x_s) snapshots for feature-trend analysis
+            # (reference lib/Visualization.py:35-122 emits sout/tout)
+            snapshots=snapshots,
         )
 
 

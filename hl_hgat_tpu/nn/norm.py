@@ -53,16 +53,19 @@ class MaskedBatchNorm(nn.Module):
         else:
             xf = x.astype(jnp.float32)
             if mask is None:
-                n_valid = jnp.asarray(
-                    float(jnp.prod(jnp.asarray(x.shape[:-1]))), jnp.float32
-                )
+                count = 1
+                for d in x.shape[:-1]:
+                    count *= int(d)
+                n_valid = jnp.asarray(float(count), jnp.float32)
                 total = jnp.sum(xf, axis=reduce_axes)
                 total_sq = jnp.sum(xf * xf, axis=reduce_axes)
             else:
                 m = mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim)).astype(
                     jnp.float32
                 )
-                per_row = float(jnp.prod(jnp.asarray(x.shape[1:-1]))) if x.ndim > 2 else 1.0
+                per_row = 1.0
+                for d in x.shape[1:-1]:
+                    per_row *= int(d)
                 n_valid = jnp.maximum(jnp.sum(m) * per_row, 1.0)
                 total = jnp.sum(xf * m, axis=reduce_axes)
                 total_sq = jnp.sum(xf * xf * m, axis=reduce_axes)

@@ -1,0 +1,31 @@
+"""Parallelism: device meshes, data parallelism, graph (simplex) partitioning.
+
+The reference is strictly single-GPU (SURVEY.md §2.10) — this subsystem is
+new capability mandated by the north star: batch data-parallelism over the
+``data`` mesh axis (each device owns whole padded sub-batches, gradients and
+BN statistics pmean-reduced over ICI) and edge-partitioned single-complex
+graph parallelism over the ``graph`` axis (node shards + halo exchange) for
+complexes too large for one chip.
+"""
+
+from hl_hgat_tpu.parallel.mesh import make_mesh
+from hl_hgat_tpu.parallel.data_parallel import (
+    make_dp_train_step,
+    shard_batches,
+    stack_batches,
+)
+from hl_hgat_tpu.parallel.graph_parallel import (
+    GraphShard,
+    partition_complex,
+    sharded_spmm,
+)
+
+__all__ = [
+    "make_mesh",
+    "stack_batches",
+    "shard_batches",
+    "make_dp_train_step",
+    "GraphShard",
+    "partition_complex",
+    "sharded_spmm",
+]

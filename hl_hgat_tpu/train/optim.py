@@ -1,0 +1,71 @@
+"""Optimizers and schedules.
+
+``adam_l2`` reproduces torch Adam with ``weight_decay`` (L2 added to the
+gradient BEFORE the moment updates — not decoupled AdamW), the optimizer of
+every reference script (e.g. reference main_zinc...py:209).
+
+``ReduceLROnPlateau`` is a host-side state machine mirroring torch's
+scheduler (patience/factor/min_lr, reference main_zinc...py:210-211); the
+current scale feeds the jitted update through ``optax.inject_hyperparams``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import optax
+
+
+def adam_l2(
+    learning_rate: float,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay) semantics, with an injectable lr."""
+
+    @optax.inject_hyperparams
+    def make(learning_rate):
+        steps = []
+        if weight_decay:
+            steps.append(optax.add_decayed_weights(weight_decay))
+        steps.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+        steps.append(optax.scale_by_learning_rate(learning_rate))  # scale(-lr)
+        return optax.chain(*steps)
+
+    return make(learning_rate)
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected lr inside an ``adam_l2`` optimizer state."""
+    import jax.numpy as jnp
+
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+@dataclasses.dataclass
+class ReduceLROnPlateau:
+    """min-mode plateau scheduler (torch semantics, threshold 1e-4 rel)."""
+
+    lr: float
+    patience: int = 10
+    factor: float = 0.5
+    min_lr: float = 1e-6
+    threshold: float = 1e-4
+
+    best: float = float("inf")
+    num_bad: int = 0
+
+    def step(self, metric: float) -> float:
+        """Feed the validation metric; returns the (possibly reduced) lr."""
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.num_bad = 0
+        return self.lr

@@ -1,0 +1,273 @@
+"""The training loop.
+
+One jitted ``train_step`` / ``eval_step`` pair per model replaces the
+reference's per-script Python loops (reference main_zinc...py:151-177).
+Semantics kept: Adam + torch-style L2, ReduceLROnPlateau on the validation
+loss, checkpoint only when the validation metric beats gate + best
+(reference main_zinc...py:241-248), optional early stop when the lr decays
+below a floor (reference main_TSP...py:421-422).
+
+TPU notes: the whole step (forward, loss, backward, optimizer, BN stat
+update) is one XLA program; batches arrive as padded `ComplexBatch` pytrees
+with identical shapes so there is exactly one compilation per pad bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hl_hgat_tpu.complex.batch import ComplexBatch
+from hl_hgat_tpu.train import losses as L
+from hl_hgat_tpu.train import metrics as M
+from hl_hgat_tpu.train.optim import ReduceLROnPlateau, adam_l2, set_learning_rate
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: Array
+    rng: Array
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    task: str = "regression"  # regression|classification|multilabel|edge_binary
+    lr: float = 1e-3
+    weight_decay: float = 1e-3
+    plateau_patience: int = 10
+    plateau_factor: float = 0.5
+    min_lr: float = 1e-6
+    early_stop_lr: float | None = None
+    save_gate: float | None = None  # metric floor/ceiling for checkpointing
+    metric_mode: str = "min"  # 'min' (MAE) or 'max' (acc/F1/AP)
+    denorm: float = 1.0  # MAE denormalization (ZINC: 2.0109)
+    log_path: str | None = None
+    ckpt_dir: str | None = None
+    seed: int = 0
+
+
+def _loss_for(task: str):
+    if task == "regression":
+        return lambda out, batch: L.l1_loss(
+            out.reshape(-1), batch.y.reshape(-1)
+        )
+    if task == "classification":
+        return lambda out, batch: L.softmax_ce_loss(
+            out, batch.y.reshape(-1).astype(jnp.int32)
+        )
+    if task == "multilabel":
+        return lambda out, batch: L.focal_loss(out, batch.y)
+    if task == "edge_binary":
+        return lambda out, batch: L.focal_loss(
+            out.reshape(-1), batch.y.reshape(-1), batch.level0.edge_mask
+        )
+    raise ValueError(f"unknown task {task!r}")
+
+
+class Trainer:
+    """Owns the jitted steps, the plateau scheduler, and checkpoint gating."""
+
+    def __init__(self, model, config: TrainerConfig):
+        self.model = model
+        self.cfg = config
+        self.tx = adam_l2(config.lr, config.weight_decay)
+        self.plateau = ReduceLROnPlateau(
+            lr=config.lr,
+            patience=config.plateau_patience,
+            factor=config.plateau_factor,
+            min_lr=config.min_lr,
+        )
+        self._loss_fn = _loss_for(config.task)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+        self.best_metric = np.inf if config.metric_mode == "min" else -np.inf
+        self.history: list[dict] = []
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, example_batch: ComplexBatch) -> TrainState:
+        rng = jax.random.key(self.cfg.seed)
+        p_rng, d_rng, s_rng = jax.random.split(rng, 3)
+        variables = self.model.init(
+            {"params": p_rng, "dropout": d_rng}, example_batch,
+            deterministic=True,
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            rng=s_rng,
+        )
+
+    # -- steps ---------------------------------------------------------------
+
+    def _apply(self, params, batch_stats, batch, *, train: bool, rng=None):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            out, mutated = self.model.apply(
+                variables, batch, deterministic=False,
+                mutable=["batch_stats"], rngs={"dropout": rng},
+            )
+            return out, mutated["batch_stats"]
+        out = self.model.apply(variables, batch, deterministic=True)
+        return out, batch_stats
+
+    def _train_step_impl(self, state: TrainState, batch: ComplexBatch):
+        rng, step_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            out, new_stats = self._apply(
+                params, state.batch_stats, batch, train=True, rng=step_rng
+            )
+            if isinstance(out, tuple):
+                out = out[0]
+            return self._loss_fn(out, batch), new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = self.tx.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params=params,
+                batch_stats=new_stats,
+                opt_state=opt_state,
+                step=state.step + 1,
+                rng=rng,
+            ),
+            loss,
+        )
+
+    def _eval_step_impl(self, state: TrainState, batch: ComplexBatch):
+        out, _ = self._apply(
+            state.params, state.batch_stats, batch, train=False
+        )
+        if isinstance(out, tuple):
+            out = out[0]
+        return out, self._loss_fn(out, batch)
+
+    def train_epoch(self, state: TrainState, batches: Iterable[ComplexBatch]):
+        total, n = 0.0, 0
+        for batch in batches:
+            state, loss = self._train_step(state, batch)
+            total += float(loss) * batch.num_graphs
+            n += batch.num_graphs
+        return state, total / max(n, 1)
+
+    def evaluate(self, state: TrainState, batches: Iterable[ComplexBatch]):
+        cfg = self.cfg
+        total, n = 0.0, 0
+        preds, ys = [], []
+        f1s = []
+        accs = []
+        for batch in batches:
+            out, loss = self._eval_step(state, batch)
+            g = batch.num_graphs
+            total += float(loss) * g
+            n += g
+            if cfg.task == "edge_binary":
+                lvl = batch.level0
+                f1s.append(
+                    float(
+                        M.per_graph_binary_f1(
+                            out, batch.y, lvl.s_id, g, lvl.edge_mask
+                        )
+                    )
+                    * g
+                )
+            elif cfg.task == "classification":
+                accs.append(float(M.accuracy(out, batch.y.reshape(-1))) * g)
+            else:
+                preds.append(np.asarray(out))
+                ys.append(np.asarray(batch.y))
+        loss_avg = total / max(n, 1)
+        if cfg.task == "regression":
+            p = np.concatenate([x.reshape(-1) for x in preds])
+            y = np.concatenate([x.reshape(-1) for x in ys])
+            metric = float(np.mean(np.abs(p - y))) * cfg.denorm
+        elif cfg.task == "classification":
+            metric = sum(accs) / max(n, 1)
+        elif cfg.task == "multilabel":
+            metric = M.eval_ap(np.concatenate(ys), np.concatenate(preds))
+        else:
+            metric = sum(f1s) / max(n, 1)
+        return loss_avg, metric
+
+    # -- fit -----------------------------------------------------------------
+
+    def _improved(self, metric: float) -> bool:
+        cfg = self.cfg
+        if cfg.metric_mode == "min":
+            gated = cfg.save_gate is None or metric < cfg.save_gate
+            return gated and metric < self.best_metric
+        gated = cfg.save_gate is None or metric > cfg.save_gate
+        return gated and metric > self.best_metric
+
+    def fit(
+        self,
+        state: TrainState,
+        train_batches: Callable[[], Iterable[ComplexBatch]],
+        val_batches: Callable[[], Iterable[ComplexBatch]],
+        *,
+        epochs: int,
+        on_improve: Callable[[TrainState, float], None] | None = None,
+        verbose: bool = True,
+    ) -> TrainState:
+        cfg = self.cfg
+        start = time.time()
+        for epoch in range(1, epochs + 1):
+            state, train_loss = self.train_epoch(state, train_batches())
+            val_loss, val_metric = self.evaluate(state, val_batches())
+            lr = self.plateau.step(val_loss)
+            state = dataclasses.replace(
+                state, opt_state=set_learning_rate(state.opt_state, lr)
+            )
+            improved = self._improved(val_metric)
+            if improved:
+                self.best_metric = val_metric
+                if on_improve is not None:
+                    on_improve(state, val_metric)
+                if cfg.ckpt_dir:
+                    from hl_hgat_tpu.train.checkpoint import save_checkpoint
+
+                    save_checkpoint(cfg.ckpt_dir, state, extra=dict(
+                        epoch=epoch, metric=val_metric, lr=lr,
+                    ))
+            rec = dict(
+                epoch=epoch, time=time.time() - start, train_loss=train_loss,
+                val_loss=val_loss, val_metric=val_metric, lr=lr,
+                improved=improved,
+            )
+            self.history.append(rec)
+            if verbose:
+                print(
+                    f"Epoch {epoch:03d} t={rec['time']:.1f}s "
+                    f"train={train_loss:.4f} val={val_loss:.4f} "
+                    f"metric={val_metric:.4f} lr={lr:.2e}"
+                    + (" *saved*" if improved else "")
+                )
+            if cfg.log_path:
+                with open(cfg.log_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+            if cfg.early_stop_lr is not None and lr < cfg.early_stop_lr:
+                break
+        return state

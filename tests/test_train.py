@@ -1,0 +1,185 @@
+"""Training layer: loss/metric parity vs torch/sklearn + end-to-end smoke."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hl_hgat_tpu.train import (
+    ReduceLROnPlateau,
+    Trainer,
+    TrainerConfig,
+    accuracy,
+    adam_l2,
+    average_precision,
+    bce_logits_loss,
+    focal_loss,
+    l1_loss,
+    per_graph_binary_f1,
+    softmax_ce_loss,
+)
+from hl_hgat_tpu.train.metrics import eval_ap
+
+
+class TestLossParity:
+    def test_bce_and_focal_match_torch(self, rng):
+        import torch
+
+        logits = rng.standard_normal(40).astype(np.float32)
+        targets = (rng.random(40) > 0.5).astype(np.float32)
+        t_bce = torch.nn.BCEWithLogitsLoss()(
+            torch.from_numpy(logits), torch.from_numpy(targets)
+        ).item()
+        np.testing.assert_allclose(
+            float(bce_logits_loss(jnp.asarray(logits), jnp.asarray(targets))),
+            t_bce, rtol=1e-5,
+        )
+        # reference FocalLoss (lib/Loss_function.py:14-26)
+        logpt = -t_bce
+        pt = np.exp(logpt)
+        t_focal = -((1 - pt) ** 2) * 0.25 * logpt * 1e4
+        np.testing.assert_allclose(
+            float(focal_loss(jnp.asarray(logits), jnp.asarray(targets))),
+            t_focal, rtol=1e-4,
+        )
+
+    def test_ce_matches_torch(self, rng):
+        import torch
+
+        logits = rng.standard_normal((12, 5)).astype(np.float32)
+        labels = rng.integers(0, 5, 12)
+        t = torch.nn.CrossEntropyLoss()(
+            torch.from_numpy(logits), torch.from_numpy(labels)
+        ).item()
+        np.testing.assert_allclose(
+            float(softmax_ce_loss(jnp.asarray(logits), jnp.asarray(labels))),
+            t, rtol=1e-5,
+        )
+
+    def test_masked_l1(self, rng):
+        pred = jnp.asarray([1.0, 2.0, 100.0])
+        tgt = jnp.asarray([0.0, 0.0, 0.0])
+        mask = jnp.asarray([1.0, 1.0, 0.0])
+        np.testing.assert_allclose(float(l1_loss(pred, tgt, mask)), 1.5)
+
+
+class TestMetricParity:
+    def test_ap_matches_sklearn(self, rng):
+        from sklearn.metrics import average_precision_score
+
+        y = (rng.random(60) > 0.6).astype(np.float32)
+        s = rng.standard_normal(60)
+        np.testing.assert_allclose(
+            average_precision(y, s), average_precision_score(y, s), rtol=1e-6
+        )
+
+    def test_eval_ap_skips_single_class_tasks(self, rng):
+        y = np.zeros((20, 3), np.float32)
+        y[:, 0] = (rng.random(20) > 0.5).astype(np.float32)
+        y[:, 1] = 1.0  # single-class: skipped
+        y[:, 2] = (rng.random(20) > 0.5).astype(np.float32)
+        s = rng.standard_normal((20, 3))
+        from sklearn.metrics import average_precision_score
+
+        expect = np.mean(
+            [average_precision_score(y[:, i], s[:, i]) for i in (0, 2)]
+        )
+        np.testing.assert_allclose(eval_ap(y, s), expect, rtol=1e-6)
+
+    def test_per_graph_f1(self):
+        # graph 0: perfect; graph 1: half precision
+        logits = jnp.asarray([2.0, -2.0, 2.0, 2.0])
+        y = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+        seg = jnp.asarray([0, 0, 1, 1], jnp.int32)
+        f1 = float(per_graph_binary_f1(logits, y, seg, 2))
+        np.testing.assert_allclose(f1, (1.0 + 2 / 3) / 2, rtol=1e-5)
+
+
+class TestOptim:
+    def test_adam_l2_matches_torch(self, rng):
+        import torch
+
+        w0 = rng.standard_normal(6).astype(np.float32)
+        g = rng.standard_normal(6).astype(np.float32)
+
+        tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        topt = torch.optim.Adam([tw], lr=1e-2, weight_decay=1e-3)
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+        tx = adam_l2(1e-2, weight_decay=1e-3)
+        params = jnp.asarray(w0)
+        st = tx.init(params)
+        for _ in range(2):
+            up, st = tx.update(jnp.asarray(g), st, params)
+            params = params + up
+        np.testing.assert_allclose(params, tw.detach().numpy(), rtol=1e-5,
+                                   atol=1e-7)
+
+    def test_plateau(self):
+        sch = ReduceLROnPlateau(lr=1.0, patience=1, factor=0.5)
+        assert sch.step(1.0) == 1.0  # improvement
+        assert sch.step(1.0) == 1.0  # bad 1
+        assert sch.step(1.0) == 0.5  # bad 2 > patience → halve
+        assert sch.step(0.5) == 0.5  # improvement resets
+
+
+class TestEndToEnd:
+    def test_zinc_smoke_learns(self):
+        """Few-epoch ZINC-like run: loss must drop and gating must fire."""
+        from hl_hgat_tpu.data import synthetic_zinc_batch
+        from hl_hgat_tpu.models import presets
+
+        batches = [
+            jax.tree.map(jnp.asarray, synthetic_zinc_batch(6, seed=s, keig=8))
+            for s in range(3)
+        ]
+        from hl_hgat_tpu.models import BackboneConfig, HLHGCNNGraph
+
+        model = HLHGCNNGraph(
+            cfg=BackboneConfig(channels=(1,), filters=(12,), k=2, init_k=2),
+            num_classes=1,
+        )
+        cfg = TrainerConfig(
+            task="regression", lr=5e-3, weight_decay=0.0,
+            save_gate=None, metric_mode="min", denorm=1.0,
+        )
+        trainer = Trainer(model, cfg)
+        state = trainer.init_state(batches[0])
+        state = trainer.fit(
+            state, lambda: batches[:2], lambda: batches[2:],
+            epochs=8, verbose=False,
+        )
+        losses = [h["train_loss"] for h in trainer.history]
+        assert losses[-1] < losses[0]
+        assert any(h["improved"] for h in trainer.history)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from hl_hgat_tpu.data import synthetic_zinc_batch
+        from hl_hgat_tpu.models import presets
+        from hl_hgat_tpu.train.checkpoint import (
+            load_metadata,
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
+        batch = jax.tree.map(jnp.asarray, synthetic_zinc_batch(4, keig=8))
+        model, _ = presets.pepfunc_pyr(channels=(1,), filters=(8,), k=2)
+        trainer = Trainer(model, TrainerConfig(task="multilabel"))
+        state = trainer.init_state(batch)
+        state, _ = trainer._train_step(state, batch)
+        save_checkpoint(str(tmp_path / "ck"), state, extra=dict(epoch=1))
+        restored = restore_checkpoint(str(tmp_path / "ck"), state)
+
+        def as_np(x):
+            if hasattr(x, "dtype") and jax.dtypes.issubdtype(
+                x.dtype, jax.dtypes.prng_key
+            ):
+                return np.asarray(jax.random.key_data(x))
+            return np.asarray(x)
+
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            np.testing.assert_allclose(as_np(a), as_np(b), rtol=1e-6)
+        assert load_metadata(str(tmp_path / "ck"))["epoch"] == 1
