@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -47,16 +48,39 @@ def main() -> None:
     except Exception:
         pass
 
+    from hl_hgat_tpu.complex.dense import collate_dense
     from hl_hgat_tpu.data import synthetic_zinc_batch
+    from hl_hgat_tpu.data.synthetic import random_simplex_sample
     from hl_hgat_tpu.models import presets
     from hl_hgat_tpu.train import Trainer, TrainerConfig
+
+    # 'dense' routes every sparse op through batched [G, S, *] matmuls on the
+    # MXU (hl_hgat_tpu.complex.dense); 'coo' is the gather/segment-sum path.
+    mode = sys.argv[1] if len(sys.argv) > 1 else "dense"
 
     model, meta = presets.zinc_pyr(
         channels=(2, 3, 3), filters=(64, 128, 256), k=6, keig=15,
         mlp_channels=(256, 256),
     )
-    batch = synthetic_zinc_batch(BATCH_GRAPHS, seed=0, keig=16, embed_ids=True)
-    real_edges = int(np.asarray(batch.levels[0].edge_mask).sum())
+    if mode == "dense":
+        rng = np.random.default_rng(0)
+        samples = []
+        for _ in range(BATCH_GRAPHS):
+            n = int(rng.integers(15, 33))
+            s = random_simplex_sample(
+                rng, n_nodes=n, extra_edges=int(rng.integers(2, 6)),
+                node_feat=1, edge_feat=1, keig=16,
+            )
+            s.x_t[:, 0] = rng.integers(0, 28, s.x_t.shape[0])
+            s.x_s[:, 0] = rng.integers(0, 4, s.x_s.shape[0])
+            samples.append(s)
+        batch = collate_dense(samples, multiple=8)
+        real_edges = int(np.asarray(batch.levels[0].edge_mask).sum())
+    else:
+        batch = synthetic_zinc_batch(
+            BATCH_GRAPHS, seed=0, keig=16, embed_ids=True
+        )
+        real_edges = int(np.asarray(batch.levels[0].edge_mask).sum())
     batch = jax.tree.map(jnp.asarray, batch)
 
     trainer = Trainer(
@@ -102,6 +126,7 @@ def main() -> None:
         json.dumps(
             dict(
                 detail=dict(
+                    mode=mode,
                     backend=jax.default_backend(),
                     batch_graphs=BATCH_GRAPHS,
                     real_edges_per_batch=real_edges,

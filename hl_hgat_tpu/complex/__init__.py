@@ -24,6 +24,13 @@ from hl_hgat_tpu.complex.build import (
     hodge_laplacians,
 )
 from hl_hgat_tpu.complex.coarsen import MLGCLevel, graclus_cluster, mlgc
+from hl_hgat_tpu.complex.dense import (
+    DenseBatch,
+    DenseLevel,
+    DensePool,
+    collate_dense,
+    dense_pad_spec,
+)
 
 __all__ = [
     "ComplexBatch",
@@ -40,4 +47,9 @@ __all__ = [
     "MLGCLevel",
     "graclus_cluster",
     "mlgc",
+    "DenseBatch",
+    "DenseLevel",
+    "DensePool",
+    "collate_dense",
+    "dense_pad_spec",
 ]

@@ -37,6 +37,7 @@ def graclus_cluster(
     num_nodes: int,
     *,
     rng: np.random.Generator | None = None,
+    impl: str = "auto",
 ) -> np.ndarray:
     """Greedy heavy-edge matching; returns a cluster id per node.
 
@@ -47,6 +48,12 @@ def graclus_cluster(
     0..C−1 by the caller exactly as the reference's ``torch.unique`` + dict
     pass does (reference lib/Hodge_Dataset.py:254-259).
     """
+    if rng is None and impl != "python":
+        from hl_hgat_tpu import native
+
+        out = native.graclus_match(src, dst, weight, num_nodes)
+        if out is not None:
+            return out
     w = np.ones(src.shape[0], np.float64) if weight is None else np.asarray(
         weight, np.float64
     )
@@ -81,7 +88,7 @@ def graclus_cluster(
 
 
 def coarse_edges(
-    c_node: np.ndarray, src: np.ndarray, dst: np.ndarray
+    c_node: np.ndarray, src: np.ndarray, dst: np.ndarray, *, impl: str = "auto"
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Coarse edge set with first-seen ordering + fine→coarse edge map.
 
@@ -90,6 +97,12 @@ def coarse_edges(
     the same cluster is deleted (map −1, the reference's ``inf``); otherwise
     the coarse edge (min, max) is created on first sight and reused after.
     """
+    if impl != "python":
+        from hl_hgat_tpu import native
+
+        out = native.coarse_edges(c_node, src, dst)
+        if out is not None:
+            return out
     c_edge = np.zeros(src.shape[0], np.int64)
     ei0: list[int] = []
     ei1: list[int] = []

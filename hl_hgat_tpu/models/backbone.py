@@ -36,7 +36,13 @@ from hl_hgat_tpu.nn.interaction import NodeEdgeInt
 from hl_hgat_tpu.nn.linear import TorchLinear
 from hl_hgat_tpu.nn.norm import MaskedBatchNorm
 from hl_hgat_tpu.nn.pool import global_mean_pool, sapool_scatter
-from hl_hgat_tpu.ops.boundary import boundary_t2s
+from hl_hgat_tpu.ops.dispatch import (
+    apply_edge_mask,
+    apply_node_mask,
+    b1_t2s,
+    masked_mean_edges,
+    masked_mean_nodes,
+)
 
 Array = jnp.ndarray
 
@@ -219,26 +225,22 @@ class HLHGCNNGraph(nn.Module):
         if self.embed_num:
             table = nn.Embed(self.embed_num, self.embed_dim, name="node_embedding")
             x_t = jnp.concatenate(
-                [table(x_t[:, 0].astype(jnp.int32)), x_t[:, 1:]], axis=-1
+                [table(x_t[..., 0].astype(jnp.int32)), x_t[..., 1:]], axis=-1
             )
             # reference quirk: edge ids go through the node table too
             x_s = jnp.concatenate(
-                [table(x_s[:, 0].astype(jnp.int32)), x_s[:, 1:]], axis=-1
+                [table(x_s[..., 0].astype(jnp.int32)), x_s[..., 1:]], axis=-1
             )
-            x_t = x_t * batch.level0.node_mask[:, None]
-            x_s = x_s * batch.level0.edge_mask[:, None]
+            x_t = apply_node_mask(batch.level0, x_t)
+            x_s = apply_edge_mask(batch.level0, x_s)
         feats = DenseInt3Backbone(self.cfg, name="backbone")(
             x_t, x_s, batch, deterministic=deterministic
         )
         level = batch.levels[feats["level_idx"]]
         pooled = jnp.concatenate(
             [
-                global_mean_pool(
-                    feats["x_s"], level.s_id, batch.num_graphs, level.edge_mask
-                ),
-                global_mean_pool(
-                    feats["x_t"], level.n_id, batch.num_graphs, level.node_mask
-                ),
+                masked_mean_edges(level, feats["x_s"], batch.num_graphs),
+                masked_mean_nodes(level, feats["x_t"], batch.num_graphs),
             ],
             axis=-1,
         )
@@ -267,18 +269,13 @@ class HLHGCNNTsp(nn.Module):
     @nn.compact
     def __call__(self, batch: ComplexBatch, *, deterministic: bool = False):
         level = batch.level0
-        x_s, aug_mask = batch.x_s[:, :-1], batch.x_s[:, -1:]
+        x_s, aug_mask = batch.x_s[..., :-1], batch.x_s[..., -1:]
         feats = DenseInt3Backbone(self.cfg, name="backbone")(
             batch.x_t, x_s, batch, deterministic=deterministic
         )
         x_t, x_s = feats["x_t"], feats["x_s"]
         # abs AFTER the product (reference lib/Hodge_ST_Model.py:848)
-        x_t2s = (
-            jnp.abs(
-                boundary_t2s(x_t, level.src, level.dst, edge_mask=level.edge_mask)
-            )
-            / 2.0
-        )
+        x_t2s = jnp.abs(b1_t2s(level, x_t)) / 2.0
         x_s = jnp.concatenate([x_s, x_t2s], axis=-1)
         if len(self.mlp_channels) == 1:
             x_s = ConvBNAct(

@@ -34,7 +34,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from hl_hgat_tpu.complex.batch import CooMatrix
-from hl_hgat_tpu.ops.spmm import spmm_coo
+from hl_hgat_tpu.ops.dispatch import lap_matvec as _dispatch_matvec
 
 Array = jnp.ndarray
 
@@ -44,17 +44,14 @@ glorot_per_term = nn.initializers.variance_scaling(
 )
 
 
-def _lap_matvec(lap: CooMatrix) -> Callable[[Array], Array]:
-    def matvec(v: Array) -> Array:
-        flat = v.reshape(v.shape[0], -1)
-        out = spmm_coo(lap.rows, lap.cols, lap.vals, flat, lap.shape[0])
-        return out.reshape(v.shape)
-
-    return matvec
+def _lap_matvec(lap) -> Callable[[Array], Array]:
+    """Laplacian application — COO (flat) or dense-block layout
+    (`hl_hgat_tpu.ops.dispatch`)."""
+    return lambda v: _dispatch_matvec(lap, v)
 
 
 def polynomial_terms(
-    x: Array, lap: CooMatrix, k: int, *, kind: str = "laguerre"
+    x: Array, lap, k: int, *, kind: str = "laguerre"
 ) -> list[Array]:
     """The K polynomial features [T_0(L)x, ..., T_{K-1}(L)x]."""
     matvec = _lap_matvec(lap)
@@ -77,14 +74,14 @@ def polynomial_terms(
 
 
 def laguerre_matvec(
-    x: Array, lap: CooMatrix, weights: Array, bias: Array | None = None
+    x: Array, lap, weights: Array, bias: Array | None = None
 ) -> Array:
     """Functional Laguerre filter: weights [K, C, F], x [N, C] or [N, T, C]."""
     return _apply_poly(x, lap, weights, bias, kind="laguerre")
 
 
 def chebyshev_matvec(
-    x: Array, lap: CooMatrix, weights: Array, bias: Array | None = None
+    x: Array, lap, weights: Array, bias: Array | None = None
 ) -> Array:
     return _apply_poly(x, lap, weights, bias, kind="chebyshev")
 
@@ -112,7 +109,7 @@ class LaguerreConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: Array, lap: CooMatrix) -> Array:
+    def __call__(self, x: Array, lap) -> Array:
         c_in = x.shape[-1]
         w = self.param("weights", glorot_per_term, (self.k, c_in, self.features))
         b = (
@@ -132,7 +129,7 @@ class ChebConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: Array, lap: CooMatrix) -> Array:
+    def __call__(self, x: Array, lap) -> Array:
         c_in = x.shape[-1]
         w = self.param("weights", glorot_per_term, (self.k, c_in, self.features))
         b = (

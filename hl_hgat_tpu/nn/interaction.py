@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from hl_hgat_tpu.complex.batch import ComplexLevel
 from hl_hgat_tpu.nn.linear import TorchLinear
 from hl_hgat_tpu.nn.norm import MaskedBatchNorm
-from hl_hgat_tpu.ops.boundary import boundary_abs_s2t, boundary_abs_t2s
+from hl_hgat_tpu.ops.dispatch import abs_b1_s2t, abs_b1_t2s
 
 Array = jnp.ndarray
 
@@ -44,20 +44,20 @@ def _sigma(name: str):
 def cross_simplex(
     x_t: Array,
     x_s: Array,
-    level: ComplexLevel,
+    level,
     deg: Array,
 ) -> tuple[Array, Array]:
-    """(x_s2t, x_t2s) boundary couplings; ``deg`` already carries any eps."""
-    s2t = boundary_abs_s2t(
-        x_s, level.src, level.dst, level.num_nodes, edge_mask=level.edge_mask
-    )
+    """(x_s2t, x_t2s) boundary couplings; ``deg`` already carries any eps.
+
+    Layout-polymorphic: flat COO levels use gathers + segment sums, dense
+    levels use batched |B1| matmuls (hl_hgat_tpu.ops.dispatch).
+    """
+    s2t = abs_b1_s2t(level, x_s)
     # Padded/isolated nodes have deg == 0 when the model's deg_eps is 0 (the
     # zinc quirk): guard the division — the numerator is 0 there anyway.
     safe_deg = jnp.where(deg > 0, deg, 1.0)
-    x_s2t = s2t / safe_deg[:, None].astype(s2t.dtype)
-    x_t2s = (
-        boundary_abs_t2s(x_t, level.src, level.dst, edge_mask=level.edge_mask) / 2.0
-    )
+    x_s2t = s2t / safe_deg[..., None].astype(s2t.dtype)
+    x_t2s = abs_b1_t2s(level, x_t) / 2.0
     return x_s2t, x_t2s
 
 
@@ -88,7 +88,7 @@ class NodeEdgeInt(nn.Module):
         self,
         x_t: Array,
         x_s: Array,
-        level: ComplexLevel,
+        level,
         deg: Array,
         *,
         deterministic: bool = False,
@@ -105,16 +105,16 @@ class NodeEdgeInt(nn.Module):
             a_t = act(
                 (
                     (1.0 - lam)
-                    * jnp.sum(wq_e(x_s2t) * wk_n(x_t), axis=1, keepdims=True)
-                    + lam * jnp.sum(wq_n(x_t) * wk_n(x_t), axis=1, keepdims=True)
+                    * jnp.sum(wq_e(x_s2t) * wk_n(x_t), axis=-1, keepdims=True)
+                    + lam * jnp.sum(wq_n(x_t) * wk_n(x_t), axis=-1, keepdims=True)
                 )
                 * scale
             )
             a_s = act(
                 (
                     (1.0 - lam)
-                    * jnp.sum(wq_n(x_t2s) * wk_e(x_s), axis=1, keepdims=True)
-                    + lam * jnp.sum(wq_e(x_s) * wk_e(x_s), axis=1, keepdims=True)
+                    * jnp.sum(wq_n(x_t2s) * wk_e(x_s), axis=-1, keepdims=True)
+                    + lam * jnp.sum(wq_e(x_s) * wk_e(x_s), axis=-1, keepdims=True)
                 )
                 * scale
             )

@@ -63,8 +63,9 @@ class MaskedBatchNorm(nn.Module):
                 m = mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim)).astype(
                     jnp.float32
                 )
+                # elements per masked row beyond the mask's own dims
                 per_row = 1.0
-                for d in x.shape[1:-1]:
+                for d in x.shape[mask.ndim : -1]:
                     per_row *= int(d)
                 n_valid = jnp.maximum(jnp.sum(m) * per_row, 1.0)
                 total = jnp.sum(xf * m, axis=reduce_axes)

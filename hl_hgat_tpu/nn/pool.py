@@ -39,27 +39,21 @@ def global_mean_pool(
 def sapool_scatter(
     x_t: Array,
     x_s: Array,
-    pool: PoolMap,
-    fine: ComplexLevel,
-    coarse: ComplexLevel,
+    pool,
+    fine,
+    coarse,
 ) -> tuple[Array, Array]:
     """Scatter-mean gated features into the coarse complex.
 
     Matches ``scatter_mean(x, pos, dim=0)`` after dropping ``inf`` edges
     (reference lib/Hodge_ST_Model.py:282-285): deleted fine edges and all
     padding point at the coarse dump slot and vanish; denominators count
-    valid fine members only.
+    valid fine members only.  Layout-polymorphic (COO segment means or dense
+    assignment matmuls).
     """
-    x_t_c = segment_mean(
-        x_t, pool.pos_t, coarse.num_nodes, weights=fine.node_mask
-    )
-    x_s_c = segment_mean(
-        x_s, pool.pos_s, coarse.num_edges, weights=fine.edge_mask
-    )
-    # re-mask: coarse padding slots stay zero
-    x_t_c = x_t_c * coarse.node_mask[:, None].astype(x_t_c.dtype)
-    x_s_c = x_s_c * coarse.edge_mask[:, None].astype(x_s_c.dtype)
-    return x_t_c, x_s_c
+    from hl_hgat_tpu.ops.dispatch import pool_to_coarse
+
+    return pool_to_coarse(pool, fine, coarse, x_t, x_s)
 
 
 class SAPool(nn.Module):

@@ -1,0 +1,115 @@
+"""Layout-polymorphic graph primitives.
+
+Every model op exists in two layouts sharing one call site:
+
+* **COO / flat** (`ComplexLevel`): gathers + segment sums — the general
+  representation, required for huge complexes and graph-axis sharding;
+* **dense-block** (`DenseLevel`): batched dense matmuls on [G, S, *] tiles —
+  the MXU fast path for small-graph benchmarks.
+
+Modules call these functions and never branch themselves.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hl_hgat_tpu.complex.batch import ComplexLevel, CooMatrix, PoolMap
+from hl_hgat_tpu.complex.dense import DenseLevel, DensePool
+from hl_hgat_tpu.ops import boundary as B
+from hl_hgat_tpu.ops.segment import segment_mean
+from hl_hgat_tpu.ops.spmm import spmm_coo
+
+Array = jax.Array
+
+
+def _bmm(a: Array, b: Array) -> Array:
+    return jnp.einsum(
+        "gij,gj...->gi...", a, b, preferred_element_type=jnp.float32
+    ).astype(b.dtype)
+
+
+def lap_matvec(lap, x: Array) -> Array:
+    """L @ x for a CooMatrix (flat [N, ...]) or dense blocks [G, S, S]."""
+    if isinstance(lap, CooMatrix):
+        flat = x.reshape(x.shape[0], -1)
+        out = spmm_coo(lap.rows, lap.cols, lap.vals, flat, lap.shape[0])
+        return out.reshape(x.shape)
+    return _bmm(lap, x)
+
+
+def abs_b1_s2t(level, x_s: Array) -> Array:
+    """|B1| @ x_s (node gathers incident edges)."""
+    if isinstance(level, ComplexLevel):
+        return B.boundary_abs_s2t(
+            x_s, level.src, level.dst, level.num_nodes,
+            edge_mask=level.edge_mask,
+        )
+    return _bmm(jnp.abs(level.b1), x_s)
+
+
+def abs_b1_t2s(level, x_t: Array) -> Array:
+    """|B1|ᵀ @ x_t (edge sums endpoints)."""
+    if isinstance(level, ComplexLevel):
+        return B.boundary_abs_t2s(
+            x_t, level.src, level.dst, edge_mask=level.edge_mask
+        )
+    return jnp.einsum(
+        "gse,gsf->gef", jnp.abs(level.b1), x_t,
+        preferred_element_type=jnp.float32,
+    ).astype(x_t.dtype)
+
+
+def b1_t2s(level, x_t: Array) -> Array:
+    """B1ᵀ @ x_t (signed endpoint difference)."""
+    if isinstance(level, ComplexLevel):
+        return B.boundary_t2s(
+            x_t, level.src, level.dst, edge_mask=level.edge_mask
+        )
+    return jnp.einsum(
+        "gse,gsf->gef", level.b1, x_t, preferred_element_type=jnp.float32
+    ).astype(x_t.dtype)
+
+
+def masked_mean_nodes(level, x: Array, num_graphs: int) -> Array:
+    """Per-graph mean over valid nodes → [G, F]."""
+    if isinstance(level, ComplexLevel):
+        return segment_mean(x, level.n_id, num_graphs, weights=level.node_mask)
+    m = level.node_mask[..., None]
+    return jnp.sum(x * m, axis=1) / jnp.maximum(
+        jnp.sum(m, axis=1), 1.0
+    )
+
+
+def masked_mean_edges(level, x: Array, num_graphs: int) -> Array:
+    if isinstance(level, ComplexLevel):
+        return segment_mean(x, level.s_id, num_graphs, weights=level.edge_mask)
+    m = level.edge_mask[..., None]
+    return jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+
+
+def pool_to_coarse(pool, fine, coarse, x_t: Array, x_s: Array):
+    """scatter-mean features into the coarse level (either layout)."""
+    if isinstance(pool, PoolMap):
+        x_t_c = segment_mean(
+            x_t, pool.pos_t, coarse.num_nodes, weights=fine.node_mask
+        )
+        x_s_c = segment_mean(
+            x_s, pool.pos_s, coarse.num_edges, weights=fine.edge_mask
+        )
+        x_t_c = x_t_c * coarse.node_mask[:, None].astype(x_t_c.dtype)
+        x_s_c = x_s_c * coarse.edge_mask[:, None].astype(x_s_c.dtype)
+        return x_t_c, x_s_c
+    assert isinstance(pool, DensePool)
+    x_t_c = _bmm(pool.p_t, x_t) * coarse.node_mask[..., None]
+    x_s_c = _bmm(pool.p_s, x_s) * coarse.edge_mask[..., None]
+    return x_t_c, x_s_c
+
+
+def apply_node_mask(level, x: Array) -> Array:
+    return x * level.node_mask[..., None].astype(x.dtype)
+
+
+def apply_edge_mask(level, x: Array) -> Array:
+    return x * level.edge_mask[..., None].astype(x.dtype)

@@ -1,0 +1,179 @@
+"""Training entry point (the reference's L4 `main_*.py` scripts as one CLI).
+
+    python -m hl_hgat_tpu.run --benchmark zinc --c1 2 --c2 3 --c3 3 --K 6 \
+        --batch_size 256 --lr 1e-3 --l2 1e-3 --epochs 600
+
+Flags mirror the reference argparse surface (reference main_zinc...py:25-38);
+5-fold seed loops, ReduceLROnPlateau, metric-gated checkpointing and the
+early-stop-on-lr rule are preserved.  Without a ``--data_root`` holding the
+real benchmark, ``--synthetic`` trains on benchmark-shaped synthetic data
+(smoke/perf mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--benchmark", default="zinc",
+                   choices=["zinc", "pepfunc", "tsp", "cifar10sp"])
+    p.add_argument("--c1", type=int, default=2)
+    p.add_argument("--c2", type=int, default=3)
+    p.add_argument("--c3", type=int, default=3)
+    p.add_argument("--filters", type=int, default=64)
+    p.add_argument("--mlp_channels", type=int, default=2)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--l2", type=float, default=1e-3)
+    p.add_argument("--dropout_ratio", type=float, default=0.0)
+    p.add_argument("--K", type=int, default=6)
+    p.add_argument("--keig", type=int, default=0,
+                   help="PE dims (0 = benchmark default, capped below filters)")
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--epochs", type=int, default=600)
+    p.add_argument("--folds", type=int, default=5)
+    p.add_argument("--fold", type=int, default=-1)
+    p.add_argument("--test", type=int, default=0)
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--n_synthetic", type=int, default=512)
+    p.add_argument("--save_dir", default="./weights")
+    p.add_argument("--layout", default="dense", choices=["dense", "coo"])
+    return p
+
+
+BENCH_SETTINGS = {
+    # (preset kwargs builder, TrainerConfig kwargs) — gates from SURVEY.md §6
+    "zinc": dict(task="regression", metric_mode="min", save_gate=0.4,
+                 denorm=2.0109, patience=10),
+    "pepfunc": dict(task="multilabel", metric_mode="max", save_gate=0.5,
+                    patience=10),
+    "tsp": dict(task="edge_binary", metric_mode="max", save_gate=0.75,
+                patience=5),
+    "cifar10sp": dict(task="classification", metric_mode="max", save_gate=0.6,
+                      patience=5),
+}
+
+
+def make_model(args):
+    from hl_hgat_tpu.models import presets
+
+    channels = (args.c1, args.c2, args.c3)
+    filters = (args.filters, args.filters * 2, args.filters * 4)
+    mlp = () if args.mlp_channels == 0 else (256,) * args.mlp_channels
+    if args.benchmark == "zinc":
+        keig = args.keig or min(15, args.filters - 1)
+        return presets.zinc_pyr(channels=channels, filters=filters, k=args.K,
+                                keig=keig, dropout=args.dropout_ratio,
+                                mlp_channels=mlp)
+    if args.benchmark == "pepfunc":
+        return presets.pepfunc_attpool(
+            channels=channels, filters=filters, k=args.K,
+            dropout=args.dropout_ratio, mlp_channels=mlp or (256,),
+        )
+    if args.benchmark == "tsp":
+        return presets.tsp_pyr(channels=channels, filters=filters, k=args.K,
+                               dropout=args.dropout_ratio,
+                               mlp_channels=mlp[:1] or (256,))
+    return presets.cifar10sp_attpool(
+        channels=channels, filters=filters, k=args.K,
+        dropout=args.dropout_ratio, mlp_channels=mlp or (256,),
+    )
+
+
+def synthetic_samples(args, seed: int):
+    from hl_hgat_tpu.data.synthetic import random_simplex_sample
+
+    rng = np.random.default_rng(seed)
+    samples = []
+    num_pool = 1 if args.benchmark in ("pepfunc", "cifar10sp") else 0
+    for _ in range(args.n_synthetic):
+        if args.benchmark == "zinc":
+            s = random_simplex_sample(rng, n_nodes=int(rng.integers(15, 33)),
+                                      node_feat=1, edge_feat=1, keig=16)
+            s.x_t[:, 0] = rng.integers(0, 28, s.x_t.shape[0])
+            s.x_s[:, 0] = rng.integers(0, 4, s.x_s.shape[0])
+        elif args.benchmark == "tsp":
+            s = random_simplex_sample(rng, n_nodes=int(rng.integers(50, 100)),
+                                      node_feat=2, edge_feat=2, keig=0)
+            s.x_s[:, -1] = 1.0
+            s.y = (rng.random(s.num_edges) > 0.8).astype(np.float32)
+        else:
+            s = random_simplex_sample(
+                rng, n_nodes=int(rng.integers(20, 60)), node_feat=9,
+                edge_feat=3, keig=10, num_pool=num_pool,
+                y_dim=10 if args.benchmark == "pepfunc" else 1,
+            )
+            if args.benchmark == "pepfunc":
+                s.y = (s.y > 0).astype(np.float32)
+            else:
+                s.y = np.asarray([int(abs(s.y[0]) * 7) % 10], np.float32)
+        samples.append(s)
+    return samples
+
+
+def main(argv=None) -> None:
+    args = build_argparser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from hl_hgat_tpu.data.loader import BucketedLoader
+    from hl_hgat_tpu.train import Trainer, TrainerConfig
+
+    settings = BENCH_SETTINGS[args.benchmark]
+    folds = [args.fold] if args.fold >= 0 else list(range(args.folds))
+    for fold in folds:
+        print(f"Fold {fold} begin")
+        model, meta = make_model(args)
+        cfg = TrainerConfig(
+            task=settings["task"],
+            lr=args.lr,
+            weight_decay=args.l2,
+            plateau_patience=settings["patience"],
+            save_gate=settings["save_gate"],
+            metric_mode=settings["metric_mode"],
+            denorm=settings.get("denorm", 1.0),
+            early_stop_lr=1e-5 if args.benchmark == "tsp" else None,
+            ckpt_dir=os.path.join(
+                args.save_dir, f"{args.benchmark}_fold{fold}"
+            ),
+            seed=fold,
+        )
+        trainer = Trainer(model, cfg)
+
+        if args.synthetic or args.data_root is None:
+            samples = synthetic_samples(args, seed=fold)
+        else:
+            raise SystemExit(
+                "real-data ingestion: preprocess with "
+                "hl_hgat_tpu.data.datasets into GraphSamples and point "
+                "--data_root at the npz cache (see CachedDataset)"
+            )
+        n_val = max(len(samples) // 10, 1)
+        train_s, val_s = samples[n_val:], samples[:n_val]
+        y_per_edge = settings["task"] == "edge_binary"
+        make_loader = lambda ss, sh: BucketedLoader(  # noqa: E731
+            ss, batch_size=args.batch_size, shuffle=sh, y_per_edge=y_per_edge,
+            seed=fold,
+        )
+        train_loader = make_loader(train_s, True)
+        val_loader = make_loader(val_s, False)
+        to_dev = lambda it: (jax.tree.map(jnp.asarray, b) for b in it)  # noqa: E731
+        state = trainer.init_state(
+            jax.tree.map(jnp.asarray, next(iter(train_loader)))
+        )
+        state = trainer.fit(
+            state,
+            lambda: to_dev(train_loader),
+            lambda: to_dev(val_loader),
+            epochs=args.epochs,
+        )
+        print(f"Fold {fold} best metric: {trainer.best_metric:.4f}")
+
+
+if __name__ == "__main__":
+    main()

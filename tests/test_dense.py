@@ -1,0 +1,152 @@
+"""Dense-block (MXU path) vs COO path: identical model semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hl_hgat_tpu.complex.build import collate
+from hl_hgat_tpu.complex.coarsen import build_pyramid
+from hl_hgat_tpu.complex.dense import collate_dense
+from hl_hgat_tpu.data.synthetic import random_simplex_sample
+from hl_hgat_tpu.models import BackboneConfig, HLHGCNNGraph, HLHGCNNTsp
+from hl_hgat_tpu.nn import LaguerreConv, NodeEdgeInt
+
+
+def make_samples(rng, n_graphs=3, num_pool=0, edge_feat=5, tsp=False):
+    samples = []
+    for _ in range(n_graphs):
+        s = random_simplex_sample(
+            rng, n_nodes=int(rng.integers(10, 20)), node_feat=6,
+            edge_feat=edge_feat, keig=0, num_pool=num_pool,
+        )
+        if tsp:
+            s.x_s[:, -1] = 1.0  # aug mask column
+            s.y = (rng.random(s.num_edges) > 0.5).astype(np.float32)
+        samples.append(s)
+    return samples
+
+
+def dev(b):
+    return jax.tree.map(jnp.asarray, b)
+
+
+class TestDenseEquivalence:
+    def test_laguerre_conv_equal(self, rng):
+        samples = make_samples(rng)
+        coo = dev(collate(samples))
+        dense = dev(collate_dense(samples))
+        conv = LaguerreConv(7, 4)
+        p = conv.init(jax.random.key(0), coo.x_t, coo.levels[0].l0)
+        out_coo = conv.apply(p, coo.x_t, coo.levels[0].l0)
+        out_dense = conv.apply(p, dense.x_t, dense.levels[0].l0)
+        # compare valid rows: dense layout is [G, S, F]
+        o = 0
+        for g, s in enumerate(samples):
+            n = s.num_nodes
+            np.testing.assert_allclose(
+                np.asarray(out_dense)[g, :n],
+                np.asarray(out_coo)[o : o + n],
+                rtol=1e-4, atol=1e-5,
+            )
+            o += n
+
+    def test_msi_value_equal(self, rng):
+        samples = make_samples(rng)
+        coo = dev(collate(samples))
+        dense = dev(collate_dense(samples))
+        mod = NodeEdgeInt(dv=8)
+        deg_c = coo.levels[0].deg + 1e-6
+        deg_d = dense.levels[0].deg + 1e-6
+        p = mod.init(
+            jax.random.key(0), coo.x_t, coo.x_s, coo.levels[0], deg_c,
+            deterministic=True,
+        )
+        yc_t, yc_s = mod.apply(
+            p, coo.x_t, coo.x_s, coo.levels[0], deg_c, deterministic=True
+        )
+        yd_t, yd_s = mod.apply(
+            p, dense.x_t, dense.x_s, dense.levels[0], deg_d,
+            deterministic=True,
+        )
+        o = 0
+        for g, s in enumerate(samples):
+            n = s.num_nodes
+            np.testing.assert_allclose(
+                np.asarray(yd_t)[g, :n], np.asarray(yc_t)[o : o + n],
+                rtol=1e-4, atol=1e-5,
+            )
+            o += n
+
+    def test_full_model_equal(self, rng):
+        samples = make_samples(rng)
+        coo = dev(collate(samples))
+        dense = dev(collate_dense(samples))
+        model = HLHGCNNGraph(
+            cfg=BackboneConfig(channels=(1, 1), filters=(8, 16), k=3,
+                               init_k=3),
+            num_classes=2,
+        )
+        p = model.init({"params": jax.random.key(0)}, coo, deterministic=True)
+        out_coo = model.apply(p, coo, deterministic=True)
+        out_dense = model.apply(p, dense, deterministic=True)
+        np.testing.assert_allclose(out_dense, out_coo, rtol=1e-3, atol=1e-4)
+
+    def test_attpool_model_equal(self, rng):
+        samples = make_samples(rng, num_pool=1)
+        coo = dev(collate(samples))
+        dense = dev(collate_dense(samples))
+        model = HLHGCNNGraph(
+            cfg=BackboneConfig(
+                channels=(1, 1), filters=(8, 16), k=2, init_k=2,
+                pool_locs=(0,), att_sigma="sigmoid", gate_input="stack",
+                gate_target="stack",
+            ),
+            num_classes=1,
+        )
+        p = model.init({"params": jax.random.key(0)}, coo, deterministic=True)
+        out_coo = model.apply(p, coo, deterministic=True)
+        out_dense = model.apply(p, dense, deterministic=True)
+        np.testing.assert_allclose(out_dense, out_coo, rtol=1e-3, atol=1e-4)
+
+    def test_tsp_model_equal(self, rng):
+        samples = make_samples(rng, edge_feat=2, tsp=True)
+        coo = dev(collate(samples, y_per_edge=True))
+        dense = dev(collate_dense(samples, y_per_edge=True))
+        model = HLHGCNNTsp(
+            cfg=BackboneConfig(channels=(1,), filters=(8,), k=2, init_k=2),
+            mlp_channels=(8,),
+        )
+        p = model.init({"params": jax.random.key(0)}, coo, deterministic=True)
+        out_coo = model.apply(p, coo, deterministic=True)
+        out_dense = model.apply(p, dense, deterministic=True)
+        o = 0
+        for g, s in enumerate(samples):
+            e = s.num_edges
+            np.testing.assert_allclose(
+                np.asarray(out_dense)[g, :e], np.asarray(out_coo)[o : o + e],
+                rtol=1e-3, atol=1e-4,
+            )
+            o += e
+
+    def test_dense_grads_finite(self, rng):
+        samples = make_samples(rng)
+        dense = dev(collate_dense(samples))
+        model = HLHGCNNGraph(
+            cfg=BackboneConfig(channels=(1,), filters=(8,), k=2, init_k=2),
+            num_classes=1,
+        )
+        v = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            dense, deterministic=True,
+        )
+
+        def loss(params):
+            out, _ = model.apply(
+                {**v, "params": params}, dense, deterministic=False,
+                mutable=["batch_stats"], rngs={"dropout": jax.random.key(2)},
+            )
+            return jnp.sum(out**2)
+
+        g = jax.grad(loss)(v["params"])
+        assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
