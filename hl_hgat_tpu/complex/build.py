@@ -182,11 +182,131 @@ def eig_pe(lap: np.ndarray, k: int = 9) -> np.ndarray:
     return pe.astype(np.float32)
 
 
-def build_structure(src: np.ndarray, dst: np.ndarray, num_nodes: int) -> GraphStructure:
-    """Boundary + Laplacians for one complex level."""
-    l0, l1, max_eig = hodge_laplacians(src, dst, num_nodes)
-    l0r, l0c, l0v = dense_to_coo(l0)
-    l1r, l1c, l1v = dense_to_coo(l1)
+def hodge_laplacians_coo(
+    src: np.ndarray, dst: np.ndarray, num_nodes: int
+) -> tuple[tuple, tuple, float]:
+    """Sparse-direct L0/L1 construction — never densifies.
+
+    nnz(L1) ≈ Σ deg² (edge pairs sharing a vertex) instead of E² for the
+    dense path; λmax comes from sparse Lanczos.  Same math as
+    `hodge_laplacians` (reference lib/Hodge_Dataset.py:451-456):
+
+      L0[i, i] = deg(i);  L0[i, j] = −1 per edge {i, j}
+      L1[e, e] = 2;       L1[e, f] = B1[v, e]·B1[v, f] for the shared v,
+                          with B1[v, e] = −1 if v == src(e) else +1.
+    """
+    e = src.shape[0]
+    deg = np.bincount(src, minlength=num_nodes) + np.bincount(
+        dst, minlength=num_nodes
+    )
+    # --- L0 ---
+    l0_rows = np.concatenate([np.arange(num_nodes), src, dst])
+    l0_cols = np.concatenate([np.arange(num_nodes), dst, src])
+    l0_vals = np.concatenate(
+        [deg.astype(np.float64), -np.ones(2 * e), ]
+    )
+    # --- λmax via sparse Lanczos on L0 ---
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    l0_mat = sp.coo_matrix(
+        (l0_vals, (l0_rows, l0_cols)), shape=(num_nodes, num_nodes)
+    ).tocsr()
+    if num_nodes <= 2:
+        max_eig = float(np.linalg.eigvalsh(l0_mat.toarray()).max())
+    else:
+        max_eig = float(
+            spla.eigsh(l0_mat, k=1, which="LA", return_eigenvectors=False,
+                       tol=1e-9)[0]
+        )
+    if max_eig <= 0:
+        max_eig = 1.0
+    scale = 2.0 / max_eig
+    # --- L1: prefer the C++ single-pass construction when built ---
+    from hl_hgat_tpu import native
+
+    l1_native = native.hodge_l1(src, dst, num_nodes, scale)
+    if l1_native is not None:
+        l0_mat.eliminate_zeros()
+        l0_coo = l0_mat.tocoo()
+        return (
+            (
+                l0_coo.row.astype(np.int32),
+                l0_coo.col.astype(np.int32),
+                (l0_coo.data * scale).astype(np.float32),
+            ),
+            l1_native,
+            max_eig,
+        )
+    # --- L1 (NumPy fallback): group incident edges per node ---
+    inc_node = np.concatenate([src, dst])
+    inc_edge = np.concatenate([np.arange(e), np.arange(e)])
+    inc_sign = np.concatenate([-np.ones(e), np.ones(e)])
+    order = np.argsort(inc_node, kind="stable")
+    inc_node, inc_edge, inc_sign = (
+        inc_node[order], inc_edge[order], inc_sign[order],
+    )
+    starts = np.searchsorted(inc_node, np.arange(num_nodes + 1))
+    counts = (starts[1:] - starts[:-1]).astype(np.int64)
+    # vectorized all-ordered-pairs within each node's incidence group
+    sq = counts * counts
+    total = int(sq.sum())
+    grp = np.repeat(np.arange(num_nodes), sq)
+    pair_start = np.concatenate([[0], np.cumsum(sq)])[:-1]
+    pos = np.arange(total) - pair_start[grp]
+    c_g = counts[grp]
+    g_start = starts[:-1][grp]
+    idx_row = g_start + pos // np.maximum(c_g, 1)
+    idx_col = g_start + pos % np.maximum(c_g, 1)
+    l1_rows = inc_edge[idx_row]
+    l1_cols = inc_edge[idx_col]
+    l1_vals = inc_sign[idx_row] * inc_sign[idx_col]
+    # coalesce duplicates (each edge's diagonal appears once per endpoint);
+    # manual key-sort — scipy's sum_duplicates is much slower at this size
+    key = l1_rows.astype(np.int64) * e + l1_cols
+    uniq, inv = np.unique(key, return_inverse=True)
+    summed = np.bincount(inv, weights=l1_vals, minlength=uniq.size)
+    keep = summed != 0
+    uniq, summed = uniq[keep], summed[keep]
+    l0_mat.eliminate_zeros()
+    l0_coo = l0_mat.tocoo()
+    return (
+        (
+            l0_coo.row.astype(np.int32),
+            l0_coo.col.astype(np.int32),
+            (l0_coo.data * scale).astype(np.float32),
+        ),
+        (
+            (uniq // e).astype(np.int32),
+            (uniq % e).astype(np.int32),
+            (summed * scale).astype(np.float32),
+        ),
+        max_eig,
+    )
+
+
+# Above this edge count the O(E²) dense L1 is replaced by the sparse-direct
+# construction (identical values up to float tolerance and COO ordering).
+SPARSE_BUILD_THRESHOLD = 1024
+
+
+def build_structure(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    *,
+    sparse_threshold: int = SPARSE_BUILD_THRESHOLD,
+) -> GraphStructure:
+    """Boundary + Laplacians for one complex level (dense for small graphs,
+    sparse-direct beyond ``sparse_threshold`` edges)."""
+    if src.shape[0] > sparse_threshold:
+        (l0r, l0c, l0v), (l1r, l1c, l1v), max_eig = hodge_laplacians_coo(
+            src, dst, num_nodes
+        )
+    else:
+        l0, l1, max_eig = hodge_laplacians(src, dst, num_nodes)
+        l0r, l0c, l0v = dense_to_coo(l0)
+        l1r, l1c, l1v = dense_to_coo(l1)
     return GraphStructure(
         src=src.astype(np.int32),
         dst=dst.astype(np.int32),

@@ -57,6 +57,13 @@ def _load():
     lib.coo_to_ell.restype = ctypes.c_int32
     lib.max_row_nnz.argtypes = [ctypes.c_int64, i32p, f32p, ctypes.c_int64]
     lib.max_row_nnz.restype = ctypes.c_int64
+    lib.hodge_l1.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i32p, i32p, ctypes.c_float,
+        i32p, i32p, f32p,
+    ]
+    lib.hodge_l1.restype = ctypes.c_int64
+    lib.l1_pair_count.argtypes = [ctypes.c_int64, ctypes.c_int64, i32p, i32p]
+    lib.l1_pair_count.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -104,6 +111,26 @@ def coarse_edges(
     c_edge = np.empty(e, np.int64)
     n_coarse = lib.coarse_edges(e, src, dst, c_node, out_src, out_dst, c_edge)
     return out_src[:n_coarse].copy(), out_dst[:n_coarse].copy(), c_edge
+
+
+def hodge_l1(
+    src: np.ndarray, dst: np.ndarray, num_nodes: int, scale: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """C++ L1 = B1ᵀB1 construction (coalesced COO, values × scale)."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    e = src.shape[0]
+    cap = int(lib.l1_pair_count(num_nodes, e, src, dst))
+    rows = np.empty(max(cap, 1), np.int32)
+    cols = np.empty(max(cap, 1), np.int32)
+    vals = np.empty(max(cap, 1), np.float32)
+    nnz = int(
+        lib.hodge_l1(num_nodes, e, src, dst, float(scale), rows, cols, vals)
+    )
+    return rows[:nnz].copy(), cols[:nnz].copy(), vals[:nnz].copy()
 
 
 def coo_to_ell(

@@ -119,6 +119,68 @@ int32_t coo_to_ell(int64_t nnz, const int32_t* rows, const int32_t* cols,
   return 0;
 }
 
+// L1 = B1^T B1 construction, coalesced COO output, values pre-scaled.
+// For each node, all ordered pairs of incident edges contribute
+// sign(e@v) * sign(f@v); sign = -1 at the edge's src, +1 at its dst.
+// out_* must have capacity sum(deg^2) (call l1_pair_count first).
+// Returns the coalesced nnz.
+int64_t hodge_l1(int64_t num_nodes, int64_t num_edges,
+                 const int32_t* src, const int32_t* dst, float scale,
+                 int32_t* out_rows, int32_t* out_cols, float* out_vals) {
+  std::vector<int64_t> degree(num_nodes, 0);
+  for (int64_t i = 0; i < num_edges; ++i) { ++degree[src[i]]; ++degree[dst[i]]; }
+  std::vector<int64_t> offset(num_nodes + 1, 0);
+  for (int64_t v = 0; v < num_nodes; ++v) offset[v + 1] = offset[v] + degree[v];
+  std::vector<int32_t> inc_edge(offset[num_nodes]);
+  std::vector<int8_t> inc_sign(offset[num_nodes]);
+  std::vector<int64_t> cursor(offset.begin(), offset.end() - 1);
+  for (int64_t i = 0; i < num_edges; ++i) {
+    inc_edge[cursor[src[i]]] = static_cast<int32_t>(i);
+    inc_sign[cursor[src[i]]++] = -1;
+    inc_edge[cursor[dst[i]]] = static_cast<int32_t>(i);
+    inc_sign[cursor[dst[i]]++] = 1;
+  }
+  struct Ent { int64_t key; float val; };
+  std::vector<Ent> ents;
+  int64_t cap = 0;
+  for (int64_t v = 0; v < num_nodes; ++v) cap += degree[v] * degree[v];
+  ents.reserve(cap);
+  for (int64_t v = 0; v < num_nodes; ++v) {
+    for (int64_t a = offset[v]; a < offset[v + 1]; ++a) {
+      for (int64_t b = offset[v]; b < offset[v + 1]; ++b) {
+        const int64_t key =
+            static_cast<int64_t>(inc_edge[a]) * num_edges + inc_edge[b];
+        ents.push_back({key, static_cast<float>(inc_sign[a] * inc_sign[b])});
+      }
+    }
+  }
+  std::sort(ents.begin(), ents.end(),
+            [](const Ent& x, const Ent& y) { return x.key < y.key; });
+  int64_t nnz = 0;
+  size_t i = 0;
+  while (i < ents.size()) {
+    const int64_t key = ents[i].key;
+    float sum = 0.0f;
+    while (i < ents.size() && ents[i].key == key) sum += ents[i++].val;
+    if (sum != 0.0f) {
+      out_rows[nnz] = static_cast<int32_t>(key / num_edges);
+      out_cols[nnz] = static_cast<int32_t>(key % num_edges);
+      out_vals[nnz] = sum * scale;
+      ++nnz;
+    }
+  }
+  return nnz;
+}
+
+int64_t l1_pair_count(int64_t num_nodes, int64_t num_edges,
+                      const int32_t* src, const int32_t* dst) {
+  std::vector<int64_t> degree(num_nodes, 0);
+  for (int64_t i = 0; i < num_edges; ++i) { ++degree[src[i]]; ++degree[dst[i]]; }
+  int64_t total = 0;
+  for (int64_t v = 0; v < num_nodes; ++v) total += degree[v] * degree[v];
+  return total;
+}
+
 // Max nnz per row of a COO pattern (for choosing the ELL width).
 int64_t max_row_nnz(int64_t nnz, const int32_t* rows, const float* vals,
                     int64_t num_rows) {

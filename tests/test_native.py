@@ -47,6 +47,16 @@ class TestNativeParity:
         np.testing.assert_array_equal(pc, cc)
         np.testing.assert_allclose(pv, cv)
 
+    def test_hodge_l1_matches_dense(self, rng, graph_factory):
+        from hl_hgat_tpu.complex.build import hodge_laplacians
+
+        src, dst = graph_factory(n=20, extra_edges=25)
+        l0d, l1d, max_eig = hodge_laplacians(src, dst, 20)
+        rows, cols, vals = native.hodge_l1(src, dst, 20, 2.0 / max_eig)
+        m = np.zeros_like(l1d)
+        np.add.at(m, (rows, cols), vals)
+        np.testing.assert_allclose(m, l1d, atol=1e-5)
+
     def test_ell_width_overflow_raises(self, rng):
         rows = np.zeros(10, np.int32)
         cols = np.arange(10, dtype=np.int32)
