@@ -38,7 +38,7 @@ BASELINE_EDGES_PER_SEC = 1.0e6
 
 STEPS_PER_CALL = 10
 TIMED_CALLS = 3
-BATCH_GRAPHS = 256
+BATCH_GRAPHS = int(os.environ.get("BENCH_BATCH_GRAPHS", "1024"))
 
 
 def main() -> None:

@@ -16,7 +16,10 @@ from hl_hgat_tpu.parallel.data_parallel import (
 )
 from hl_hgat_tpu.parallel.graph_parallel import (
     GraphShard,
+    HaloShard,
+    halo_spmm,
     partition_complex,
+    partition_halo,
     sharded_spmm,
 )
 
@@ -26,6 +29,9 @@ __all__ = [
     "shard_batches",
     "make_dp_train_step",
     "GraphShard",
+    "HaloShard",
     "partition_complex",
+    "partition_halo",
     "sharded_spmm",
+    "halo_spmm",
 ]

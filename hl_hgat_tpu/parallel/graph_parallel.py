@@ -122,3 +122,152 @@ def place_shard(shard: GraphShard, x_blocks, mesh: Mesh):
     sh = NamedSharding(mesh, P("graph"))
     put = lambda t: jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), sh), t)  # noqa: E731
     return put(shard), put(x_blocks)
+
+
+# ---------------------------------------------------------------------------
+# halo-exchange SpMM: communicate only the boundary rows each part needs
+# ---------------------------------------------------------------------------
+
+
+@_pytree_dataclass(meta=("n_local", "n_parts", "halo_per_round"))
+class HaloShard:
+    """Row-sharded operator with precomputed halo exchange schedule.
+
+    Device p's extended feature buffer is ``[x_local ‖ halo]`` where the halo
+    holds, for ring rounds r = 1..P−1, the rows received from part
+    (p − r) mod P at static offset (r−1)·H.  ``cols`` index into this
+    extended buffer.  ``send_idx[r−1]`` lists the local rows that part
+    (p + r) mod P needs from us (mask-padded to H).
+
+    Communication is P−1 ``ppermute`` steps of [H, F] blocks riding ICI —
+    volume = Σ halo sizes instead of the all-gather's (P−1)·N·F
+    (SURVEY.md §7 hard-part 5).
+    """
+
+    rows: Array  # [Pn, nnz_local] local row ids
+    cols: Array  # [Pn, nnz_local] ids into [n_local + (P-1)*H]
+    vals: Array  # [Pn, nnz_local]
+    send_idx: Array  # [Pn, P-1, H] local row ids to send at round r
+    send_mask: Array  # [Pn, P-1, H]
+    n_local: int
+    n_parts: int
+    halo_per_round: int
+
+
+def partition_halo(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    num_rows: int,
+    n_parts: int,
+    *,
+    x: np.ndarray | None = None,
+) -> tuple[HaloShard, np.ndarray | None]:
+    """Build the halo schedule for a contiguous row partition (host-side)."""
+    keep = vals != 0
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+    n_local = -(-num_rows // n_parts)
+    owner = lambda g: g // n_local  # noqa: E731
+
+    # per-part needed remote globals, grouped by owning part
+    need: list[dict[int, np.ndarray]] = []
+    nnz_per = np.zeros(n_parts, np.int64)
+    for p in range(n_parts):
+        sel = owner(rows) == p
+        nnz_per[p] = int(sel.sum())
+        remote = np.unique(cols[sel][owner(cols[sel]) != p])
+        need.append(
+            {
+                q: np.sort(remote[owner(remote) == q])
+                for q in np.unique(owner(remote))
+            }
+        )
+    halo_per_round = 1
+    for p in range(n_parts):
+        for q, lst in need[p].items():
+            halo_per_round = max(halo_per_round, lst.size)
+    nnz_local = max(int(nnz_per.max()), 1)
+
+    r_arr = np.zeros((n_parts, nnz_local), np.int32)
+    c_arr = np.zeros((n_parts, nnz_local), np.int32)
+    v_arr = np.zeros((n_parts, nnz_local), np.float32)
+    send_idx = np.zeros((n_parts, n_parts - 1, halo_per_round), np.int32)
+    send_mask = np.zeros((n_parts, n_parts - 1, halo_per_round), np.float32)
+
+    for p in range(n_parts):
+        # local ids of halo rows: offset by ring round
+        halo_pos: dict[int, int] = {}
+        for r in range(1, n_parts):
+            q = (p - r) % n_parts
+            lst = need[p].get(q, np.zeros(0, np.int64))
+            base = n_local + (r - 1) * halo_per_round
+            for j, g in enumerate(lst):
+                halo_pos[int(g)] = base + j
+        sel = owner(rows) == p
+        rr, cc, vv = rows[sel], cols[sel], vals[sel]
+        local_cols = np.where(
+            owner(cc) == p,
+            cc - p * n_local,
+            np.asarray([halo_pos.get(int(g), 0) for g in cc]),
+        )
+        k = rr.size
+        r_arr[p, :k] = rr - p * n_local
+        c_arr[p, :k] = local_cols
+        v_arr[p, :k] = vv
+        # what we send at round r: the rows (p + r) % P needs from us
+        for r in range(1, n_parts):
+            q = (p + r) % n_parts
+            lst = need[q].get(p, np.zeros(0, np.int64))
+            send_idx[p, r - 1, : lst.size] = lst - p * n_local
+            send_mask[p, r - 1, : lst.size] = 1.0
+
+    shard = HaloShard(
+        rows=r_arr, cols=c_arr, vals=v_arr, send_idx=send_idx,
+        send_mask=send_mask, n_local=n_local, n_parts=n_parts,
+        halo_per_round=halo_per_round,
+    )
+    if x is None:
+        return shard, None
+    f = x.shape[1]
+    xp = np.zeros((n_parts * n_local, f), x.dtype)
+    xp[:num_rows] = x
+    return shard, xp.reshape(n_parts, n_local, f)
+
+
+def halo_spmm(shard: HaloShard, x_sharded: Array, mesh: Mesh) -> Array:
+    """``L @ x`` exchanging only halo rows via P−1 ``ppermute`` rounds.
+
+    XLA overlaps each round's transfer with the gather of the send block for
+    the next round; the SpMM itself runs after the last round (same result
+    as `sharded_spmm`, a fraction of the communication volume).
+    """
+    p_total = shard.n_parts
+    h = shard.halo_per_round
+
+    def local(rows, cols, vals, send_idx, send_mask, x_local):
+        rows, cols, vals = rows[0], cols[0], vals[0]
+        send_idx, send_mask, x_local = send_idx[0], send_mask[0], x_local[0]
+        halos = []
+        for r in range(1, p_total):
+            block = x_local[send_idx[r - 1]] * send_mask[r - 1][:, None]
+            perm = [(i, (i + r) % p_total) for i in range(p_total)]
+            halos.append(jax.lax.ppermute(block, "graph", perm))
+        x_ext = (
+            jnp.concatenate([x_local] + halos, axis=0)
+            if halos
+            else x_local
+        )
+        out = spmm_coo(rows, cols, vals, x_ext, x_local.shape[0])
+        return out[None]
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("graph"),) * 6,
+        out_specs=P("graph"),
+        check_vma=False,
+    )
+    return fn(
+        shard.rows, shard.cols, shard.vals, shard.send_idx, shard.send_mask,
+        x_sharded,
+    )

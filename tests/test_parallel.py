@@ -116,6 +116,43 @@ class TestGraphParallel:
         )
         np.testing.assert_allclose(out_flat, expect, rtol=1e-4, atol=1e-5)
 
+    def test_halo_spmm_matches_dense(self, mesh_graph, rng):
+        from hl_hgat_tpu.ops import spmm_dense_oracle
+        from hl_hgat_tpu.parallel.graph_parallel import (
+            halo_spmm,
+            partition_halo,
+            place_shard,
+        )
+        import jax.numpy as jnp
+
+        n, f, nnz = 96, 6, 600
+        rows = rng.integers(0, n, nnz).astype(np.int32)
+        cols = rng.integers(0, n, nnz).astype(np.int32)
+        vals = rng.standard_normal(nnz).astype(np.float32)
+        x = rng.standard_normal((n, f)).astype(np.float32)
+        shard, x_blocks = partition_halo(rows, cols, vals, n, 8, x=x)
+        shard, x_blocks = place_shard(shard, jnp.asarray(x_blocks), mesh_graph)
+        out = halo_spmm(shard, x_blocks, mesh_graph)
+        out_flat = np.asarray(out).reshape(-1, f)[:n]
+        expect = spmm_dense_oracle(
+            jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+            jnp.asarray(x), n,
+        )
+        np.testing.assert_allclose(out_flat, expect, rtol=1e-4, atol=1e-5)
+
+    def test_halo_volume_smaller_than_allgather(self, rng):
+        """A locality-friendly (banded) operator needs far less halo traffic
+        than the all-gather strategy."""
+        from hl_hgat_tpu.parallel.graph_parallel import partition_halo
+
+        n = 256
+        rows = np.arange(n - 1, dtype=np.int32)
+        cols = (np.arange(n - 1) + 1).astype(np.int32)
+        vals = np.ones(n - 1, np.float32)
+        shard, _ = partition_halo(rows, cols, vals, n, 8)
+        halo_total = 7 * shard.halo_per_round
+        assert halo_total < shard.n_local  # banded: ~1 remote row per part
+
     def test_partition_balance(self, rng):
         rows = rng.integers(0, 100, 400).astype(np.int32)
         cols = rng.integers(0, 100, 400).astype(np.int32)
