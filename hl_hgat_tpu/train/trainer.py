@@ -115,6 +115,34 @@ class Trainer:
             rng=s_rng,
         )
 
+    def maybe_restore(self, state: TrainState) -> tuple[TrainState, int]:
+        """Resume from the latest checkpoint in ``ckpt_dir`` if present.
+
+        Returns (state, start_epoch).  Restores params, BN stats, optimizer
+        moments, step and PRNG — a true resume, which the reference (saving
+        only state_dict) could not do (SURVEY.md §5)."""
+        cfg = self.cfg
+        if not cfg.ckpt_dir:
+            return state, 1
+        from hl_hgat_tpu.train.checkpoint import (
+            load_metadata,
+            restore_checkpoint,
+        )
+        import os
+
+        if not (
+            os.path.exists(os.path.join(cfg.ckpt_dir, "state.npz"))
+            or os.path.exists(os.path.join(cfg.ckpt_dir, "state"))
+        ):
+            return state, 1
+        restored = restore_checkpoint(cfg.ckpt_dir, state)
+        meta = load_metadata(cfg.ckpt_dir)
+        if "metric" in meta:
+            self.best_metric = meta["metric"]
+        if "lr" in meta:
+            self.plateau.lr = meta["lr"]
+        return restored, int(meta.get("epoch", 0)) + 1
+
     # -- steps ---------------------------------------------------------------
 
     def _apply(self, params, batch_stats, batch, *, train: bool, rng=None):
@@ -231,10 +259,16 @@ class Trainer:
         epochs: int,
         on_improve: Callable[[TrainState, float], None] | None = None,
         verbose: bool = True,
+        resume: bool = False,
     ) -> TrainState:
         cfg = self.cfg
         start = time.time()
-        for epoch in range(1, epochs + 1):
+        start_epoch = 1
+        if resume:
+            state, start_epoch = self.maybe_restore(state)
+            if verbose and start_epoch > 1:
+                print(f"resumed from epoch {start_epoch - 1}")
+        for epoch in range(start_epoch, epochs + 1):
             state, train_loss = self.train_epoch(state, train_batches())
             val_loss, val_metric = self.evaluate(state, val_batches())
             lr = self.plateau.step(val_loss)

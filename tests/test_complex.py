@@ -152,6 +152,48 @@ class TestCollate:
                                    samples[1].y)
 
 
+class TestSmallUtilities:
+    def test_par2adj_roundtrip(self, graph_factory):
+        from hl_hgat_tpu.complex.build import par2adj
+
+        src, dst = graph_factory(n=10, extra_edges=6)
+        b1 = boundary_dense(src, dst, 10)
+        ei = par2adj(b1)
+        np.testing.assert_array_equal(ei[0], src)
+        np.testing.assert_array_equal(ei[1], dst)
+
+    def test_post2poss_matches_mlgc_assignment(self, graph_factory):
+        from hl_hgat_tpu.complex.build import build_structure, post2poss
+        from hl_hgat_tpu.complex.coarsen import mlgc
+
+        src, dst = graph_factory(n=16, extra_edges=10)
+        st = build_structure(src, dst, 16)
+        lvl = mlgc(st)
+        ei = np.stack([src, dst])
+        ei1 = np.stack([lvl.structure.src, lvl.structure.dst])
+        pos_s = post2poss(lvl.c_node, ei, ei1)
+        np.testing.assert_array_equal(pos_s, lvl.c_edge)
+
+    def test_unbatch_edge_attr(self, rng, graph_factory):
+        from hl_hgat_tpu.complex.build import unbatch_edge_attr
+        from hl_hgat_tpu.complex.build import build_complex, collate
+
+        samples = [
+            build_complex(
+                np.stack(graph_factory(n=8, extra_edges=3)), 8,
+                x_s=None, y=np.zeros(1),
+            )
+            for _ in range(3)
+        ]
+        for s in samples:
+            s.x_s = rng.standard_normal((s.num_edges, 2)).astype(np.float32)
+        batch = collate(samples)
+        lvl = batch.levels[0]
+        parts = unbatch_edge_attr(batch.x_s, lvl.s_id, lvl.edge_mask, 3)
+        for s, p in zip(samples, parts):
+            np.testing.assert_allclose(p, s.x_s)
+
+
 class TestCoarsen:
     def test_graclus_is_valid_matching(self, graph_factory):
         src, dst = graph_factory(n=20, extra_edges=15)

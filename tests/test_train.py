@@ -156,6 +156,34 @@ class TestEndToEnd:
         assert losses[-1] < losses[0]
         assert any(h["improved"] for h in trainer.history)
 
+    def test_auto_resume(self, tmp_path):
+        from hl_hgat_tpu.data import synthetic_zinc_batch
+        from hl_hgat_tpu.models import BackboneConfig, HLHGCNNGraph
+
+        batches = [
+            jax.tree.map(jnp.asarray, synthetic_zinc_batch(4, seed=s, keig=8))
+            for s in range(2)
+        ]
+        model = HLHGCNNGraph(
+            cfg=BackboneConfig(channels=(1,), filters=(8,), k=2, init_k=2),
+            num_classes=1,
+        )
+        cfg = TrainerConfig(task="regression", ckpt_dir=str(tmp_path / "ck"),
+                            save_gate=None)
+        t1 = Trainer(model, cfg)
+        state = t1.init_state(batches[0])
+        t1.fit(state, lambda: batches[:1], lambda: batches[1:], epochs=3,
+               verbose=False)
+        saved_epochs = [h["epoch"] for h in t1.history if h["improved"]]
+        assert saved_epochs, "no checkpoint was written"
+
+        # a fresh trainer resumes from the checkpointed epoch
+        t2 = Trainer(model, cfg)
+        state2 = t2.init_state(batches[0])
+        restored, start = t2.maybe_restore(state2)
+        assert start == saved_epochs[-1] + 1
+        assert t2.best_metric == t1.best_metric
+
     def test_checkpoint_roundtrip(self, tmp_path):
         from hl_hgat_tpu.data import synthetic_zinc_batch
         from hl_hgat_tpu.models import presets
