@@ -38,7 +38,9 @@ BASELINE_EDGES_PER_SEC = 1.0e6
 
 STEPS_PER_CALL = 10
 TIMED_CALLS = 3
-BATCH_GRAPHS = int(os.environ.get("BENCH_BATCH_GRAPHS", "1024"))
+# 4096 is the measured single-chip sweet spot (16k OOMs in f32; bf16 is
+# slower at these tile sizes — see benchmarks/RESULTS.md)
+BATCH_GRAPHS = int(os.environ.get("BENCH_BATCH_GRAPHS", "4096"))
 
 
 def main() -> None:
@@ -61,6 +63,7 @@ def main() -> None:
     model, meta = presets.zinc_pyr(
         channels=(2, 3, 3), filters=(64, 128, 256), k=6, keig=15,
         mlp_channels=(256, 256),
+        compute_dtype=os.environ.get("BENCH_DTYPE", "float32"),
     )
     if mode == "dense":
         rng = np.random.default_rng(0)

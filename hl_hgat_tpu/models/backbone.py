@@ -67,6 +67,10 @@ class BackboneConfig:
     gate_input: str = "last"  # 'last' (x_t, x_s) | 'stack' (x_t0, x_s0)
     gate_target: str = "stack"  # 'stack' | 'last'
     max_normalize_gates: bool = False
+    # activations dtype: 'bfloat16' halves HBM traffic and doubles MXU rate;
+    # params stay fp32, matmuls accumulate fp32 (preferred_element_type), BN
+    # statistics are computed in fp32 regardless.
+    compute_dtype: str = "float32"
 
 
 class DenseInt3Backbone(nn.Module):
@@ -86,6 +90,9 @@ class DenseInt3Backbone(nn.Module):
         deterministic: bool = False,
     ):
         cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        x_t = x_t.astype(dtype)
+        x_s = x_s.astype(dtype)
         level = batch.levels[0]
         deg = level.deg + cfg.deg_eps
         snapshots: list[tuple[Array, Array]] = []
@@ -190,7 +197,7 @@ class MLPHead(nn.Module):
             x = activation(self.act, self.leaky_slope)(x)
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        out = TorchLinear(self.num_classes, name="out")(x)
+        out = TorchLinear(self.num_classes, name="out")(x).astype(jnp.float32)
         if return_latent:
             return out, x
         return out
@@ -283,4 +290,4 @@ class HLHGCNNTsp(nn.Module):
                 self.cfg.dropout, name="mlp",
             )(x_s, level.l1, level.edge_mask, deterministic=deterministic)
         logits = LaguerreConv(self.num_classes, 1, name="out")(x_s, level.l1)
-        return logits * aug_mask
+        return logits.astype(jnp.float32) * aug_mask

@@ -44,6 +44,21 @@ glorot_per_term = nn.initializers.variance_scaling(
 )
 
 
+import os
+
+_fused_dense_flag = os.environ.get("HLHGAT_FUSED_DENSE", "0") == "1"
+
+
+def use_fused_dense(enable: bool | None = None) -> bool:
+    """Get/set whether dense-block Laguerre convs route through the fused
+    Pallas kernel (`hl_hgat_tpu.ops.pallas_hodge`).  Also settable via the
+    ``HLHGAT_FUSED_DENSE=1`` environment variable."""
+    global _fused_dense_flag
+    if enable is not None:
+        _fused_dense_flag = enable
+    return _fused_dense_flag
+
+
 def _lap_matvec(lap) -> Callable[[Array], Array]:
     """Laplacian application — COO (flat) or dense-block layout
     (`hl_hgat_tpu.ops.dispatch`)."""
@@ -88,6 +103,19 @@ def chebyshev_matvec(
 
 def _apply_poly(x, lap, weights, bias, *, kind):
     k = weights.shape[0]
+    if (
+        kind == "laguerre"
+        and use_fused_dense()
+        and not isinstance(lap, CooMatrix)
+        and getattr(lap, "ndim", 0) == 3
+        and x.ndim == 3
+    ):
+        from hl_hgat_tpu.ops.pallas_hodge import laguerre_dense_fused
+
+        b = bias if bias is not None else jnp.zeros(
+            (weights.shape[-1],), weights.dtype
+        )
+        return laguerre_dense_fused(lap, x, weights, b)
     terms = polynomial_terms(x, lap, k, kind=kind)
     # fuse the K small GEMMs into one MXU-friendly matmul
     stacked = jnp.concatenate(terms, axis=-1)  # [N(, T), K*C]

@@ -1,0 +1,58 @@
+"""Fused dense-Laguerre Pallas kernel vs the XLA reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hl_hgat_tpu.nn.conv import laguerre_matvec
+from hl_hgat_tpu.ops.pallas_hodge import laguerre_dense_fused
+
+
+def setup(rng, g=3, s=16, c=8, f=8, k=4):
+    l = rng.standard_normal((g, s, s)).astype(np.float32)
+    l = (l + l.transpose(0, 2, 1)) / 4  # symmetric, like a Hodge Laplacian
+    x = rng.standard_normal((g, s, c)).astype(np.float32)
+    w = rng.standard_normal((k, c, f)).astype(np.float32) * 0.1
+    b = rng.standard_normal(f).astype(np.float32)
+    return jnp.asarray(l), jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)
+
+
+class TestFusedLaguerre:
+    @pytest.mark.parametrize("k", [1, 2, 4, 6])
+    def test_forward_matches_xla(self, rng, k):
+        l, x, w, b = setup(rng, k=k)
+        out = laguerre_dense_fused(l, x, w, b)
+        expect = laguerre_matvec(x, l, w, b)
+        np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("k", [1, 2, 4, 6])
+    def test_gradients_match_xla(self, rng, k):
+        l, x, w, b = setup(rng, k=k)
+
+        def f_fused(x, w, b):
+            return jnp.sum(laguerre_dense_fused(l, x, w, b) ** 2)
+
+        def f_xla(x, w, b):
+            return jnp.sum(laguerre_matvec(x, l, w, b) ** 2)
+
+        gf = jax.grad(f_fused, argnums=(0, 1, 2))(x, w, b)
+        gx = jax.grad(f_xla, argnums=(0, 1, 2))(x, w, b)
+        for a, e, name in zip(gf, gx, ("dx", "dw", "db")):
+            np.testing.assert_allclose(
+                a, e, rtol=2e-3, atol=1e-3, err_msg=name
+            )
+
+    def test_jit_and_scan(self, rng):
+        """The kernel must compose with jit + scan (the bench pattern)."""
+        l, x, w, b = setup(rng, k=3)
+
+        @jax.jit
+        def step(w, _):
+            out = laguerre_dense_fused(l, x, w, b)
+            return w - 1e-3 * jax.grad(
+                lambda ww: jnp.sum(laguerre_dense_fused(l, x, ww, b) ** 2)
+            )(w), jnp.sum(out)
+
+        w2, sums = jax.lax.scan(step, w, None, length=3)
+        assert np.isfinite(np.asarray(sums)).all()
