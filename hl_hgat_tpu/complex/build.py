@@ -53,6 +53,7 @@ class GraphSample:
     y: np.ndarray
     levels: list[GraphStructure]
     pools: list[tuple[np.ndarray, np.ndarray]]
+    extra: dict | None = None  # task-specific extras (e.g. link-pred pairs)
 
     @property
     def num_nodes(self) -> int:
@@ -549,6 +550,7 @@ def collate(
     *,
     multiple: int = 8,
     y_per_edge: bool = False,
+    y_per_node: bool = False,
 ) -> ComplexBatch:
     """Pack samples into one padded `ComplexBatch`.
 
@@ -606,6 +608,10 @@ def collate(
         y = np.zeros((pads[0].edges,) + samples[0].y.shape[1:], np.float32)
         for g, s in enumerate(samples):
             y[fe_off[g] : fe_off[g + 1]] = s.y
+    elif y_per_node:
+        y = np.zeros((pads[0].nodes,) + samples[0].y.shape[1:], np.float32)
+        for g, s in enumerate(samples):
+            y[fn_off[g] : fn_off[g + 1]] = s.y
     else:
         y = np.stack([np.asarray(s.y, np.float32).reshape(-1) for s in samples])
 

@@ -77,6 +77,72 @@ def download(root: str, name: str) -> str:
     return raw
 
 
+# COCO-SP's original label ids are non-contiguous; remap like the reference
+# (lib/LRGBDataset.py label_remap_coco)
+_COCO_LABELS = [
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19,
+    20, 21, 22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38, 39,
+    40, 41, 42, 43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57,
+    58, 59, 60, 61, 62, 63, 64, 65, 67, 70, 72, 73, 74, 75, 76, 77, 78,
+    79, 80, 81, 82, 84, 85, 86, 87, 88, 89, 90,
+]
+_COCO_REMAP = {k: i for i, k in enumerate(_COCO_LABELS)}
+
+
+def _load_raw(root: str, name: str, split: str):
+    """Load one raw split: '-sp' datasets ship pickles, the rest torch .pt
+    (reference lib/LRGBDataset.py raw_file_names)."""
+    raw = _raw_dir(root, name)
+    is_sp = name.lower().split("-")[1] == "sp"
+    path = os.path.join(raw, f"{split}.pickle" if is_sp else f"{split}.pt")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"missing {path}; fetch with hl_hgat_tpu.data.lrgb.download on a "
+            f"machine with egress"
+        )
+    if is_sp:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    import torch
+
+    with open(path, "rb") as f:
+        return torch.load(f, weights_only=False)
+
+
+def iter_lrgb(
+    root: str, name: str, split: str = "train", *, keig: int = 100
+) -> Iterator[GraphSample]:
+    """Parse any of the five LRGB datasets into simplex samples.
+
+    Tuple layouts per the reference (lib/LRGBDataset.py process()):
+      *-sp:          (x[n,14], edge_attr[e,2], edge_index, y[n])  node labels
+      peptides-*:    (x[n,9], edge_attr[e,3], edge_index, y[1,10|11])
+      pcqm-contact:  (x, edge_attr, edge_index, edge_label_index, edge_label)
+    Node-label datasets store y per node (collate with ``y_per_node=True``);
+    pcqm-contact attaches the link-prediction pairs as extra fields.
+    """
+    key = name.lower()
+    info = lrgb_info(key)
+    graphs = _load_raw(root, key, split)
+    for g in graphs:
+        parts = [np.asarray(t) for t in g]
+        if key == "pcqm-contact":
+            x, ea, ei, eli, el = parts
+            s = peptides_sample(ei, ea, x, np.zeros(1), keig=keig)
+            s.extra = dict(edge_label_index=eli, edge_label=el)
+            yield s
+            continue
+        x, ea, ei, y = parts
+        if info["task"] == "node_classification":
+            if key == "coco-sp":
+                y = np.asarray([_COCO_REMAP[int(v)] for v in y])
+            s = peptides_sample(ei, ea, x, np.zeros(1), keig=keig)
+            s.y = np.asarray(y, np.float32).reshape(-1, 1)
+            yield s
+        else:
+            yield peptides_sample(ei, ea, x, y, keig=keig)
+
+
 def iter_peptides_func(
     root: str, split: str = "train", *, keig: int = 100
 ) -> Iterator[GraphSample]:

@@ -179,3 +179,54 @@ class TestCacheAndLoader:
         assert info["num_graphs"] == 15535
         with pytest.raises(ValueError):
             lrgb_info("nope")
+
+    def test_lrgb_parsers_from_fake_raw(self, rng, tmp_path):
+        """Write raw files in the released formats and parse them back."""
+        import pickle
+
+        from hl_hgat_tpu.complex.build import collate
+        from hl_hgat_tpu.data.lrgb import iter_lrgb
+
+        # pascalvoc-sp pickle: (x[n,14], edge_attr[e,2], edge_index, y[n])
+        raw = tmp_path / "pascalvoc-sp" / "raw"
+        raw.mkdir(parents=True)
+        graphs = []
+        for _ in range(3):
+            n = 12
+            ei = toy_graph(rng, n)
+            graphs.append((
+                rng.random((n, 14)).astype(np.float32),
+                rng.random((ei.shape[1], 2)).astype(np.float32),
+                ei, rng.integers(0, 21, n),
+            ))
+        with open(raw / "train.pickle", "wb") as f:
+            pickle.dump(graphs, f)
+        samples = list(iter_lrgb(str(tmp_path), "pascalvoc-sp", "train",
+                                 keig=4))
+        assert len(samples) == 3
+        assert samples[0].x_t.shape[1] == 14 + 3
+        assert samples[0].y.shape == (12, 1)  # per-node labels
+        batch = collate(samples, y_per_node=True)
+        assert batch.y.shape[0] == batch.levels[0].num_nodes
+
+        # pcqm-contact .pt: includes link-prediction labels
+        import torch
+
+        raw2 = tmp_path / "pcqm-contact" / "raw"
+        raw2.mkdir(parents=True)
+        g2 = []
+        for _ in range(2):
+            n = 10
+            ei = toy_graph(rng, n)
+            g2.append((
+                rng.random((n, 9)).astype(np.float32),
+                rng.random((ei.shape[1], 3)).astype(np.float32),
+                ei,
+                rng.integers(0, n, (2, 5)),
+                rng.integers(0, 2, 5),
+            ))
+        torch.save(g2, raw2 / "train.pt")
+        samples2 = list(iter_lrgb(str(tmp_path), "pcqm-contact", "train",
+                                  keig=4))
+        assert len(samples2) == 2
+        assert samples2[0].extra["edge_label"].shape == (5,)
