@@ -129,7 +129,7 @@ def place_shard(shard: GraphShard, x_blocks, mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 
-@_pytree_dataclass(meta=("n_local", "n_parts", "halo_per_round"))
+@_pytree_dataclass(meta=("n_local", "c_local", "n_parts", "halo_per_round"))
 class HaloShard:
     """Row-sharded operator with precomputed halo exchange schedule.
 
@@ -145,11 +145,12 @@ class HaloShard:
     """
 
     rows: Array  # [Pn, nnz_local] local row ids
-    cols: Array  # [Pn, nnz_local] ids into [n_local + (P-1)*H]
+    cols: Array  # [Pn, nnz_local] ids into [c_local + (P-1)*H]
     vals: Array  # [Pn, nnz_local]
-    send_idx: Array  # [Pn, P-1, H] local row ids to send at round r
+    send_idx: Array  # [Pn, P-1, H] local col-space rows to send at round r
     send_mask: Array  # [Pn, P-1, H]
-    n_local: int
+    n_local: int  # output rows per part
+    c_local: int  # x rows per part (== n_local for square operators)
     n_parts: int
     halo_per_round: int
 
@@ -161,19 +162,30 @@ def partition_halo(
     num_rows: int,
     n_parts: int,
     *,
+    num_cols: int | None = None,
     x: np.ndarray | None = None,
 ) -> tuple[HaloShard, np.ndarray | None]:
-    """Build the halo schedule for a contiguous row partition (host-side)."""
+    """Build the halo schedule for a contiguous row partition (host-side).
+
+    Rectangular operators are supported (``num_cols`` ≠ ``num_rows`` — e.g.
+    the boundary operator B1 [nodes × edges] or B1ᵀ): rows are partitioned
+    into blocks of ``ceil(num_rows/P)``, the x features live col-partitioned
+    in blocks of ``ceil(num_cols/P)``, and the halo exchanges col-type rows.
+    """
+    if num_cols is None:
+        num_cols = num_rows
     keep = vals != 0
     rows, cols, vals = rows[keep], cols[keep], vals[keep]
     n_local = -(-num_rows // n_parts)
-    owner = lambda g: g // n_local  # noqa: E731
+    c_local = -(-num_cols // n_parts)
+    row_owner = lambda g: g // n_local  # noqa: E731
+    owner = lambda g: g // c_local  # noqa: E731  (col-space ownership)
 
-    # per-part needed remote globals, grouped by owning part
+    # per-part needed remote col-space globals, grouped by owning part
     need: list[dict[int, np.ndarray]] = []
     nnz_per = np.zeros(n_parts, np.int64)
     for p in range(n_parts):
-        sel = owner(rows) == p
+        sel = row_owner(rows) == p
         nnz_per[p] = int(sel.sum())
         remote = np.unique(cols[sel][owner(cols[sel]) != p])
         need.append(
@@ -200,38 +212,38 @@ def partition_halo(
         for r in range(1, n_parts):
             q = (p - r) % n_parts
             lst = need[p].get(q, np.zeros(0, np.int64))
-            base = n_local + (r - 1) * halo_per_round
+            base = c_local + (r - 1) * halo_per_round
             for j, g in enumerate(lst):
                 halo_pos[int(g)] = base + j
-        sel = owner(rows) == p
+        sel = row_owner(rows) == p
         rr, cc, vv = rows[sel], cols[sel], vals[sel]
         local_cols = np.where(
             owner(cc) == p,
-            cc - p * n_local,
+            cc - p * c_local,
             np.asarray([halo_pos.get(int(g), 0) for g in cc]),
         )
         k = rr.size
         r_arr[p, :k] = rr - p * n_local
         c_arr[p, :k] = local_cols
         v_arr[p, :k] = vv
-        # what we send at round r: the rows (p + r) % P needs from us
+        # what we send at round r: the col rows (p + r) % P needs from us
         for r in range(1, n_parts):
             q = (p + r) % n_parts
             lst = need[q].get(p, np.zeros(0, np.int64))
-            send_idx[p, r - 1, : lst.size] = lst - p * n_local
+            send_idx[p, r - 1, : lst.size] = lst - p * c_local
             send_mask[p, r - 1, : lst.size] = 1.0
 
     shard = HaloShard(
         rows=r_arr, cols=c_arr, vals=v_arr, send_idx=send_idx,
-        send_mask=send_mask, n_local=n_local, n_parts=n_parts,
-        halo_per_round=halo_per_round,
+        send_mask=send_mask, n_local=n_local, c_local=c_local,
+        n_parts=n_parts, halo_per_round=halo_per_round,
     )
     if x is None:
         return shard, None
     f = x.shape[1]
-    xp = np.zeros((n_parts * n_local, f), x.dtype)
-    xp[:num_rows] = x
-    return shard, xp.reshape(n_parts, n_local, f)
+    xp = np.zeros((n_parts * c_local, f), x.dtype)
+    xp[:num_cols] = x
+    return shard, xp.reshape(n_parts, c_local, f)
 
 
 def halo_spmm(shard: HaloShard, x_sharded: Array, mesh: Mesh) -> Array:
@@ -257,7 +269,7 @@ def halo_spmm(shard: HaloShard, x_sharded: Array, mesh: Mesh) -> Array:
             if halos
             else x_local
         )
-        out = spmm_coo(rows, cols, vals, x_ext, x_local.shape[0])
+        out = spmm_coo(rows, cols, vals, x_ext, shard.n_local)
         return out[None]
 
     fn = jax.shard_map(

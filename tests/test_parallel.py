@@ -153,6 +153,105 @@ class TestGraphParallel:
         halo_total = 7 * shard.halo_per_round
         assert halo_total < shard.n_local  # banded: ~1 remote row per part
 
+    def test_sharded_hl_layer_matches_dense_math(self, mesh_graph, rng,
+                                                  graph_factory):
+        """A full MSI+conv layer sharded over 8 devices equals the dense
+        single-device math (BN in eval-mode form with psum'd stats)."""
+        import jax.numpy as jnp
+
+        from hl_hgat_tpu.complex.build import (
+            boundary_dense,
+            build_structure,
+            hodge_laplacians,
+        )
+        from hl_hgat_tpu.parallel.sharded_layer import (
+            HLLayerWeights,
+            build_sharded_complex,
+            pad_features,
+            sharded_hl_layer,
+        )
+
+        n = 48
+        src, dst = graph_factory(n=n, extra_edges=40)
+        st = build_structure(src, dst, n)
+        e = st.num_edges
+        c, f, k = 6, 5, 3
+        x_t = rng.standard_normal((n, c)).astype(np.float32)
+        x_s = rng.standard_normal((e, c)).astype(np.float32)
+
+        def lin(ci, co):
+            return (rng.standard_normal((ci, co)).astype(np.float32) * 0.3,
+                    rng.standard_normal(co).astype(np.float32) * 0.1)
+
+        w1t, b1t = lin(2 * c, f)
+        w2t, b2t = lin(f, f)
+        w1s, b1s = lin(2 * c, f)
+        w2s, b2s = lin(f, f)
+        cwt = rng.standard_normal((k, f, f)).astype(np.float32) * 0.3
+        cbt = rng.standard_normal(f).astype(np.float32) * 0.1
+        cws = rng.standard_normal((k, f, f)).astype(np.float32) * 0.3
+        cbs = rng.standard_normal(f).astype(np.float32) * 0.1
+        bns = tuple(
+            (np.abs(rng.standard_normal(f)).astype(np.float32) + 0.5,
+             rng.standard_normal(f).astype(np.float32) * 0.1)
+            for _ in range(6)
+        )
+        weights = HLLayerWeights(
+            wv_node1=w1t, bv_node1=b1t, wv_node2=w2t, bv_node2=b2t,
+            wv_edge1=w1s, bv_edge1=b1s, wv_edge2=w2s, bv_edge2=b2s,
+            conv_t_w=cwt, conv_t_b=cbt, conv_s_w=cws, conv_s_b=cbs,
+            bn_scales=bns,
+        )
+
+        # ---- dense single-device oracle ----
+        b1 = boundary_dense(src, dst, n)
+        l0, l1, _ = hodge_laplacians(src, dst, n)
+        deg = np.abs(b1).sum(1) + 1e-6
+
+        def bn(x, sc):
+            mean = x.mean(0)
+            var = x.var(0)
+            return (x - mean) / np.sqrt(var + 1e-5) * sc[0] + sc[1]
+
+        def relu(x):
+            return np.maximum(x, 0)
+
+        s2t = (np.abs(b1) @ x_s) / deg[:, None]
+        t2s = np.abs(b1).T @ x_t / 2
+        v_t = relu(bn(relu(bn(np.concatenate([s2t, x_t], 1) @ w1t + b1t,
+                              bns[0])) @ w2t + b2t, bns[1]))
+        v_s = relu(bn(relu(bn(np.concatenate([t2s, x_s], 1) @ w1s + b1s,
+                              bns[2])) @ w2s + b2s, bns[3]))
+
+        def laguerre(L, x, w, b):
+            terms = [x, x - L @ x]
+            j = 1
+            for _ in range(2, w.shape[0]):
+                terms.append((-L @ terms[-1] + (2 * j + 1) * terms[-1]
+                              - j * terms[-2]) / (j + 1))
+                j += 1
+            return sum(t @ w[i] for i, t in enumerate(terms)) + b
+
+        y_t = relu(bn(laguerre(l0, v_t, cwt, cbt), bns[4]))
+        y_s = relu(bn(laguerre(l1, v_s, cws, cbs), bns[5]))
+
+        # ---- sharded over 8 devices ----
+        comp = build_sharded_complex(st, 8)
+        comp_dev = jax.tree.map(jnp.asarray, comp)
+        xt_s = jnp.asarray(pad_features(x_t, 8))
+        xs_s = jnp.asarray(pad_features(x_s, 8))
+        from hl_hgat_tpu.parallel.graph_parallel import place_shard
+
+        comp_dev, (xt_s, xs_s) = place_shard(comp_dev, (xt_s, xs_s),
+                                             mesh_graph)
+        w_dev = jax.tree.map(jnp.asarray, weights)
+        out_t, out_s = sharded_hl_layer(w_dev, comp_dev, xt_s, xs_s,
+                                        mesh_graph)
+        out_t = np.asarray(out_t).reshape(-1, f)[:n]
+        out_s = np.asarray(out_s).reshape(-1, f)[:e]
+        np.testing.assert_allclose(out_t, y_t, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(out_s, y_s, rtol=1e-3, atol=1e-4)
+
     def test_partition_balance(self, rng):
         rows = rng.integers(0, 100, 400).astype(np.int32)
         cols = rng.integers(0, 100, 400).astype(np.int32)
