@@ -90,11 +90,11 @@ def pe_sign_flip(
     """
     if not enabled:
         return x
-    n_pe = x.shape[1] - num_static
+    n_pe = x.shape[-1] - num_static
     if n_pe <= 0:
         return x
     signs = (
         jax.random.bernoulli(key, 0.5, (n_pe,)).astype(x.dtype) * 2.0 - 1.0
     )
     full = jnp.concatenate([jnp.ones((num_static,), x.dtype), signs])
-    return x * full[None, :]
+    return x * full.reshape((1,) * (x.ndim - 1) + (-1,))

@@ -57,6 +57,11 @@ class TrainerConfig:
     log_path: str | None = None
     ckpt_dir: str | None = None
     seed: int = 0
+    # device-side eigen-PE sign-flip augmentation: number of leading static
+    # (non-PE) feature columns, or None to disable (the reference flips per
+    # sample on CPU, lib/Hodge_Dataset.py:429-439; here per batch on device)
+    pe_flip_node_static: int | None = None
+    pe_flip_edge_static: int | None = None
 
 
 def _loss_for(task: str):
@@ -158,6 +163,17 @@ class Trainer:
 
     def _train_step_impl(self, state: TrainState, batch: ComplexBatch):
         rng, step_rng = jax.random.split(state.rng)
+        cfg = self.cfg
+        if cfg.pe_flip_node_static is not None or cfg.pe_flip_edge_static is not None:
+            from hl_hgat_tpu.complex.augment import pe_sign_flip
+
+            k_t, k_s = jax.random.split(jax.random.fold_in(step_rng, 1))
+            x_t, x_s = batch.x_t, batch.x_s
+            if cfg.pe_flip_node_static is not None:
+                x_t = pe_sign_flip(k_t, x_t, num_static=cfg.pe_flip_node_static)
+            if cfg.pe_flip_edge_static is not None:
+                x_s = pe_sign_flip(k_s, x_s, num_static=cfg.pe_flip_edge_static)
+            batch = batch.replace(x_t=x_t, x_s=x_s)
 
         def loss_fn(params):
             out, new_stats = self._apply(
