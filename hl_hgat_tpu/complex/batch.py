@@ -36,19 +36,28 @@ def _pytree_dataclass(cls=None, *, meta: tuple[str, ...] = ()):
     return wrap(cls) if cls is not None else wrap
 
 
-@_pytree_dataclass(meta=("shape",))
+@_pytree_dataclass(meta=("shape", "symmetric"))
 class CooMatrix:
     """Padded COO sparse matrix; padding entries must have ``vals == 0``.
 
     The reference stores L0/L1 as ``(edge_index, edge_weight)`` pairs from
     ``dense_to_sparse`` (reference lib/Hodge_Dataset.py:467-470); this is the
     same information with a static nnz and an explicit logical shape.
+
+    ``ell_cols``/``ell_vals`` optionally carry the same pattern packed in ELL
+    [rows, width] form (built by ``collate(..., with_ell=True)``) — the input
+    of the Pallas row-gather SpMM kernel.  ``symmetric`` marks operators equal
+    to their transpose (L0/L1 are), which lets the ELL path serve its own
+    backward pass.
     """
 
     rows: Array  # [nnz] int32
     cols: Array  # [nnz] int32
     vals: Array  # [nnz] float32
     shape: tuple[int, int]  # logical (padded) shape — static
+    ell_cols: Array | None = None  # [num_rows, width] int32
+    ell_vals: Array | None = None  # [num_rows, width] float32
+    symmetric: bool = False
 
     @property
     def nnz(self) -> int:

@@ -456,8 +456,18 @@ def pad_spec(
     return out
 
 
+def _build_ell(rows, cols, vals, num_rows):
+    from hl_hgat_tpu import native
+
+    out = native.coo_to_ell(rows, cols, vals, num_rows)
+    if out is None:
+        out = coo_to_ell(rows, cols, vals, num_rows)
+    return out
+
+
 def _collate_level(
-    structs: list[GraphStructure], pad: LevelPad, num_graphs: int
+    structs: list[GraphStructure], pad: LevelPad, num_graphs: int,
+    with_ell: bool = False,
 ) -> tuple[ComplexLevel, np.ndarray, np.ndarray]:
     """Block-diagonal concatenation of one level across the batch.
 
@@ -529,6 +539,8 @@ def _collate_level(
     np.add.at(deg, src[:e_tot], 1.0)
     np.add.at(deg, dst[:e_tot], 1.0)
 
+    ell0 = _build_ell(l0r, l0c, l0v, pad.nodes) if with_ell else (None, None)
+    ell1 = _build_ell(l1r, l1c, l1v, pad.edges) if with_ell else (None, None)
     level = ComplexLevel(
         src=src,
         dst=dst,
@@ -536,8 +548,14 @@ def _collate_level(
         edge_mask=edge_mask,
         n_id=n_id,
         s_id=s_id,
-        l0=CooMatrix(rows=l0r, cols=l0c, vals=l0v, shape=(pad.nodes, pad.nodes)),
-        l1=CooMatrix(rows=l1r, cols=l1c, vals=l1v, shape=(pad.edges, pad.edges)),
+        l0=CooMatrix(
+            rows=l0r, cols=l0c, vals=l0v, shape=(pad.nodes, pad.nodes),
+            ell_cols=ell0[0], ell_vals=ell0[1], symmetric=True,
+        ),
+        l1=CooMatrix(
+            rows=l1r, cols=l1c, vals=l1v, shape=(pad.edges, pad.edges),
+            ell_cols=ell1[0], ell_vals=ell1[1], symmetric=True,
+        ),
         deg=deg,
         num_graphs=num_graphs,
     )
@@ -551,6 +569,7 @@ def collate(
     multiple: int = 8,
     y_per_edge: bool = False,
     y_per_node: bool = False,
+    with_ell: bool = False,
 ) -> ComplexBatch:
     """Pack samples into one padded `ComplexBatch`.
 
@@ -569,7 +588,8 @@ def collate(
     offs: list[tuple[np.ndarray, np.ndarray]] = []
     for lv in range(depth):
         level, n_off, e_off = _collate_level(
-            [s.levels[lv] for s in samples], pads[lv], num_graphs
+            [s.levels[lv] for s in samples], pads[lv], num_graphs,
+            with_ell=with_ell,
         )
         levels.append(level)
         offs.append((n_off, e_off))

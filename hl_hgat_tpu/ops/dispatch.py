@@ -30,11 +30,56 @@ def _bmm(a: Array, b: Array) -> Array:
     ).astype(b.dtype)
 
 
+# x (and one temp of the same size) must sit in VMEM alongside the ELL
+# arrays; ~2M f32 elements keeps the kernel's working set under ~8 MB.
+_ELL_VMEM_ELEMS = 2 * 1024 * 1024
+
+
+def _ell_fits_vmem(lap: CooMatrix, flat: Array) -> bool:
+    n, f = flat.shape
+    w = lap.ell_cols.shape[1]
+    return n * f <= _ELL_VMEM_ELEMS and n * w <= _ELL_VMEM_ELEMS
+
+
+def _ell_pallas_enabled() -> bool:
+    # Opt-in only: Mosaic (current libtpu) rejects tpu.dynamic_gather when
+    # the source spans multiple vregs along the gather dim ("Multiple source
+    # vregs along gather dimension"), so the ELL row-gather kernel cannot
+    # compile for any real operand size on TPU — measured 2026-08; see
+    # benchmarks/spmm_ell.py + benchmarks/RESULTS.md.  Re-enable via env when
+    # Mosaic gains multi-vreg gather.
+    import os
+
+    return os.environ.get("HLHGAT_ELL_PALLAS", "0") == "1"
+
+
 def lap_matvec(lap, x: Array) -> Array:
-    """L @ x for a CooMatrix (flat [N, ...]) or dense blocks [G, S, S]."""
+    """L @ x for a CooMatrix (flat [N, ...]), dense blocks [G, S, S], or a
+    HaloShard (graph-axis-sharded operator → halo-exchange shard_map SpMM).
+
+    A CooMatrix carrying ELL arrays for a symmetric operator routes through
+    the Pallas row-gather kernel on TPU backends when the operand fits the
+    kernel's VMEM-resident regime."""
+    from hl_hgat_tpu.parallel.graph_parallel import HaloShard, halo_spmm
+
+    if isinstance(lap, HaloShard):
+        flat = x.reshape(x.shape[0], -1)
+        blocks = flat.reshape(lap.n_parts, lap.c_local, flat.shape[1])
+        out = halo_spmm(lap, blocks, lap.mesh)
+        return out.reshape((lap.n_parts * lap.n_local,) + x.shape[1:])
     if isinstance(lap, CooMatrix):
         flat = x.reshape(x.shape[0], -1)
-        out = spmm_coo(lap.rows, lap.cols, lap.vals, flat, lap.shape[0])
+        if (
+            lap.ell_cols is not None
+            and lap.symmetric
+            and _ell_fits_vmem(lap, flat)
+            and _ell_pallas_enabled()
+        ):
+            from hl_hgat_tpu.ops.pallas_spmm import spmm_ell_symmetric
+
+            out = spmm_ell_symmetric(lap.ell_cols, lap.ell_vals, flat)
+        else:
+            out = spmm_coo(lap.rows, lap.cols, lap.vals, flat, lap.shape[0])
         return out.reshape(x.shape)
     return _bmm(lap, x)
 

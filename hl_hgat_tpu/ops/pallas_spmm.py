@@ -36,62 +36,100 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _spmm_ell_kernel(cols_ref, vals_ref, x_ref, out_ref):
-    """One grid step handles a [BLOCK_R] slab of rows against full x.
+    """ELL SpMM with full x resident in VMEM.
 
-    cols_ref: [BLOCK_R, D] int32 in [0, N); padded entries have vals == 0 and
-    cols pointing at row 0 (safe — zero-weighted).
-    x_ref: [N, F] resident in VMEM.  out_ref: [BLOCK_R, F].
+    Mosaic's gather support is ``take_along_axis`` only (indices shape must
+    equal the operand shape), so each ELL column's row-indices are broadcast
+    across the feature axis and gathered with ``tpu.dynamic_gather`` along
+    axis 0 — requiring the ELL row count to equal x's row count, which holds
+    for square operators (L0/L1).
+
+    cols_ref/vals_ref: [N, D]; x_ref: [N, F]; out_ref: [N, F].  Padded
+    entries carry vals == 0 (their gathered rows are zero-weighted).
     """
     d = cols_ref.shape[1]
+    x = x_ref[:]
+    n, f = x.shape
     acc = jnp.zeros(out_ref.shape, dtype=jnp.float32)
     for j in range(d):
-        idx = cols_ref[:, j]
-        gathered = jnp.take(x_ref[:], idx, axis=0)
+        idx = jnp.broadcast_to(cols_ref[:, j][:, None], (n, f))
+        gathered = jnp.take_along_axis(x, idx, axis=0)
         acc = acc + gathered.astype(jnp.float32) * vals_ref[:, j][:, None]
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows",))
 def spmm_ell_pallas(
     ell_cols: Array,
     ell_vals: Array,
     x: Array,
-    *,
-    block_rows: int = 256,
+    **_unused,
 ) -> Array:
     """ELL-format SpMM: ``out[r] = sum_j ell_vals[r, j] * x[ell_cols[r, j]]``.
 
-    ell_cols/ell_vals: [R, D]; x: [N, F].  Returns [R, F] (caller slices off
-    any row padding).  x must fit VMEM alongside one row slab — for larger x
-    use the XLA path.
+    Square operators only (R == N — true for L0/L1); x must fit in VMEM
+    (N·F ≲ 2M floats), the per-shard regime of graph-parallel training.  For
+    larger operands use the XLA path (`ops.spmm.spmm_coo`).
+
+    ⚠ STATUS (2026-08, libtpu v5e): compiles + passes in interpret mode, but
+    Mosaic rejects the row gather on real TPU — ``tpu.dynamic_gather`` only
+    supports a source of one vreg along the gather dim ("Multiple source
+    vregs along gather dimension"), and any useful x has N ≫ 8 rows.  The
+    dispatch layer therefore keeps this path behind ``HLHGAT_ELL_PALLAS=1``;
+    the XLA scatter SpMM (~10 GFLOP/s at nnz 147k/F 64 on v5e, see
+    benchmarks/RESULTS.md) remains the sparse default and the dense-block
+    layout remains the performance path.
     """
     r, d = ell_cols.shape
     n, f = x.shape
-    rp = _round_up(r, block_rows)
-    if rp != r:
-        ell_cols = jnp.pad(ell_cols, ((0, rp - r), (0, 0)))
-        ell_vals = jnp.pad(ell_vals, ((0, rp - r), (0, 0)))
-
+    if r != n:
+        raise ValueError(
+            f"ELL Pallas path requires a square operator (R={r} != N={n})"
+        )
     out = pl.pallas_call(
         _spmm_ell_kernel,
-        out_shape=jax.ShapeDtypeStruct((rp, f), x.dtype),
-        grid=(rp // block_rows,),
+        out_shape=jax.ShapeDtypeStruct((n, f), x.dtype),
         interpret=jax.default_backend() not in ("tpu", "axon"),
         in_specs=[
-            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (block_rows, f), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=2 * rp * d * f,
-            bytes_accessed=rp * d * 8 + n * f * 4 + rp * f * 4,
+            flops=2 * n * d * f,
+            bytes_accessed=n * d * 8 + n * f * 8,
             transcendentals=0,
         ),
     )(ell_cols, ell_vals, x)
-    return out[:r]
+    return out
+
+
+@functools.partial(jax.custom_vjp)
+def spmm_ell_symmetric(ell_cols: Array, ell_vals: Array, x: Array) -> Array:
+    """Differentiable ELL SpMM for SYMMETRIC operators (L0/L1).
+
+    Backward w.r.t. x reuses the same kernel (Aᵀ = A); the value gradient is
+    an SDDMM on the ELL pattern.  The entry point of the Pallas fast path for
+    large sparse complexes (selected by ``ops.dispatch.lap_matvec`` when the
+    CooMatrix carries ELL arrays)."""
+    return spmm_ell_pallas(ell_cols, ell_vals, x)
+
+
+def _ell_sym_fwd(ell_cols, ell_vals, x):
+    return spmm_ell_pallas(ell_cols, ell_vals, x), (ell_cols, ell_vals, x)
+
+
+def _ell_sym_bwd(res, g):
+    ell_cols, ell_vals, x = res
+    dx = spmm_ell_pallas(ell_cols, ell_vals, g)
+    # dvals[r, j] = <g[r], x[ell_cols[r, j]]> (zero at padding via mask mult)
+    gathered = x[ell_cols]  # [R, W, F]
+    dvals = jnp.einsum("rwf,rf->rw", gathered, g.astype(gathered.dtype))
+    dvals = jnp.where(ell_vals != 0, dvals, 0.0).astype(ell_vals.dtype)
+    return None, dvals, dx
+
+
+spmm_ell_symmetric.defvjp(_ell_sym_fwd, _ell_sym_bwd)
 
 
 def spmm_coo_pallas(

@@ -112,6 +112,32 @@ class TestCollate:
             samples[1].levels[0].src + o,
         )
 
+    def test_collate_with_ell_matches_coo(self, rng, graph_factory):
+        samples = [make_sample(rng, graph_factory, n=n) for n in (8, 10)]
+        batch = collate(samples, with_ell=True)
+        lvl = batch.levels[0]
+        for mat in (lvl.l0, lvl.l1):
+            assert mat.ell_cols is not None and mat.symmetric
+            n_rows = mat.shape[0]
+            assert mat.ell_cols.shape[0] == n_rows
+            dense_coo = np.zeros((n_rows, mat.shape[1]), np.float32)
+            np.add.at(
+                dense_coo,
+                (np.asarray(mat.rows), np.asarray(mat.cols)),
+                np.asarray(mat.vals),
+            )
+            dense_ell = np.zeros_like(dense_coo)
+            w = mat.ell_cols.shape[1]
+            np.add.at(
+                dense_ell,
+                (np.repeat(np.arange(n_rows), w), np.asarray(mat.ell_cols).ravel()),
+                np.asarray(mat.ell_vals).ravel(),
+            )
+            np.testing.assert_allclose(dense_ell, dense_coo, rtol=1e-5, atol=1e-6)
+        # default collate carries no ELL arrays
+        plain = collate(samples)
+        assert plain.levels[0].l0.ell_cols is None
+
     def test_l0_blocks_match_per_graph(self, rng, graph_factory):
         samples = [make_sample(rng, graph_factory, n=7) for _ in range(2)]
         batch = collate(samples)

@@ -152,6 +152,64 @@ class TestSpmm:
         )
         np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
 
+    def test_ell_symmetric_fwd_bwd(self, rng):
+        from hl_hgat_tpu.ops.pallas_spmm import spmm_ell_symmetric
+
+        # random symmetric operator (dedup'd via the dense matrix)
+        n, f = 12, 5
+        dense = np.zeros((n, n), np.float32)
+        r0 = rng.integers(0, n, 30)
+        c0 = rng.integers(0, n, 30)
+        v0 = rng.standard_normal(30).astype(np.float32)
+        np.add.at(dense, (r0, c0), v0)
+        dense = dense + dense.T
+        rows, cols = np.nonzero(dense)
+        vals = dense[rows, cols].astype(np.float32)
+        rows, cols = rows.astype(np.int32), cols.astype(np.int32)
+        ell_cols, ell_vals = coo_to_ell(rows, cols, vals, n)
+        x = rng.standard_normal((n, f)).astype(np.float32)
+
+        out = spmm_ell_symmetric(
+            jnp.asarray(ell_cols), jnp.asarray(ell_vals), jnp.asarray(x)
+        )
+        np.testing.assert_allclose(out, dense @ x, rtol=1e-4, atol=1e-5)
+
+        def loss_ell(ev, xx):
+            y = spmm_ell_symmetric(jnp.asarray(ell_cols), ev, xx)
+            return jnp.sum(jnp.sin(y))
+
+        def loss_dense(dd, xx):
+            return jnp.sum(jnp.sin(dd @ xx))
+
+        gv, gx = jax.grad(loss_ell, argnums=(0, 1))(
+            jnp.asarray(ell_vals), jnp.asarray(x)
+        )
+        gd, gx_d = jax.grad(loss_dense, argnums=(0, 1))(
+            jnp.asarray(dense), jnp.asarray(x)
+        )
+        np.testing.assert_allclose(gx, gx_d, rtol=1e-4, atol=1e-5)
+        # scatter ELL value-grad back to dense and compare
+        gd_from_ell = np.zeros((n, n), np.float32)
+        np.add.at(
+            gd_from_ell,
+            (np.repeat(np.arange(n), ell_cols.shape[1]), ell_cols.ravel()),
+            np.asarray(gv).ravel(),
+        )
+        expect_dense = np.where(dense != 0, np.asarray(gd), 0.0)
+        np.testing.assert_allclose(
+            gd_from_ell, expect_dense, rtol=1e-4, atol=1e-5
+        )
+
+    def test_ell_symmetric_rejects_rectangular(self, rng):
+        from hl_hgat_tpu.ops.pallas_spmm import spmm_ell_pallas as k
+
+        with pytest.raises(ValueError):
+            k(
+                jnp.zeros((4, 2), jnp.int32),
+                jnp.zeros((4, 2), jnp.float32),
+                jnp.zeros((6, 3), jnp.float32),
+            )
+
 
 class TestBoundary:
     def test_all_products_match_dense_b1(self, rng, graph_factory):
