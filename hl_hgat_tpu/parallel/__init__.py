@@ -22,8 +22,10 @@ from hl_hgat_tpu.parallel.graph_parallel import (
     partition_halo,
     sharded_spmm,
 )
+from hl_hgat_tpu.parallel.gp_model import build_gp_batch
 
 __all__ = [
+    "build_gp_batch",
     "make_mesh",
     "stack_batches",
     "shard_batches",

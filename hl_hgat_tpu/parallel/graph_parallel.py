@@ -129,30 +129,40 @@ def place_shard(shard: GraphShard, x_blocks, mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 
-@_pytree_dataclass(meta=("n_local", "c_local", "n_parts", "halo_per_round"))
+@_pytree_dataclass(
+    meta=("n_local", "c_local", "n_parts", "halo_per_round", "seg_nnz", "mesh")
+)
 class HaloShard:
     """Row-sharded operator with precomputed halo exchange schedule.
 
-    Device p's extended feature buffer is ``[x_local ‖ halo]`` where the halo
-    holds, for ring rounds r = 1..P−1, the rows received from part
-    (p − r) mod P at static offset (r−1)·H.  ``cols`` index into this
-    extended buffer.  ``send_idx[r−1]`` lists the local rows that part
-    (p + r) mod P needs from us (mask-padded to H).
+    Entries are grouped by the ring round their column arrives in:
+    ``seg_nnz[0]`` local-column entries first (cols in [0, c_local)), then
+    for rounds r = 1..P−1 ``seg_nnz[r]`` entries whose cols are REBASED into
+    that round's [H, F] halo block (received from part (p − r) mod P).  The
+    static segmentation lets the SpMM consume each block the moment it
+    lands, overlapping the remaining ppermutes with compute.
+    ``send_idx[r−1]`` lists the local rows that part (p + r) mod P needs
+    from us (mask-padded to H).
 
     Communication is P−1 ``ppermute`` steps of [H, F] blocks riding ICI —
     volume = Σ halo sizes instead of the all-gather's (P−1)·N·F
     (SURVEY.md §7 hard-part 5).
     """
 
-    rows: Array  # [Pn, nnz_local] local row ids
-    cols: Array  # [Pn, nnz_local] ids into [c_local + (P-1)*H]
-    vals: Array  # [Pn, nnz_local]
+    rows: Array  # [Pn, Σ seg_nnz] local row ids, round-segmented
+    cols: Array  # [Pn, Σ seg_nnz] per-segment-rebased column ids
+    vals: Array  # [Pn, Σ seg_nnz]
     send_idx: Array  # [Pn, P-1, H] local col-space rows to send at round r
     send_mask: Array  # [Pn, P-1, H]
     n_local: int  # output rows per part
     c_local: int  # x rows per part (== n_local for square operators)
     n_parts: int
     halo_per_round: int
+    seg_nnz: tuple[int, ...] = ()  # static per-round entry counts (padded)
+    # mesh to shard_map over when this shard stands in for a CooMatrix inside
+    # a jit-traced model (full-model graph parallelism, parallel.gp_model);
+    # None for explicitly-driven use where the caller passes the mesh.
+    mesh: Mesh | None = None
 
 
 def partition_halo(
@@ -198,34 +208,50 @@ def partition_halo(
     for p in range(n_parts):
         for q, lst in need[p].items():
             halo_per_round = max(halo_per_round, lst.size)
-    nnz_local = max(int(nnz_per.max()), 1)
 
-    r_arr = np.zeros((n_parts, nnz_local), np.int32)
-    c_arr = np.zeros((n_parts, nnz_local), np.int32)
-    v_arr = np.zeros((n_parts, nnz_local), np.float32)
-    send_idx = np.zeros((n_parts, n_parts - 1, halo_per_round), np.int32)
-    send_mask = np.zeros((n_parts, n_parts - 1, halo_per_round), np.float32)
+    # group each part's entries by the ring round their column arrives in
+    # (round 0 = local), rebasing cols into that round's block
+    per_part: list[list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = []
+    seg_counts = np.zeros((n_parts, n_parts), np.int64)
+    for p in range(n_parts):
+        sel = row_owner(rows) == p
+        rr, cc, vv = rows[sel] - p * n_local, cols[sel], vals[sel]
+        entry_round = (p - owner(cc)) % n_parts
+        segs = []
+        for r in range(n_parts):
+            in_r = entry_round == r
+            cr = cc[in_r]
+            if r == 0:
+                cr = cr - p * c_local
+            else:
+                lst = need[p].get((p - r) % n_parts, np.zeros(0, np.int64))
+                cr = np.searchsorted(lst, cr)  # position in the halo block
+            segs.append((rr[in_r].astype(np.int32), cr.astype(np.int32),
+                         vv[in_r].astype(np.float32)))
+            seg_counts[p, r] = cr.size
+        per_part.append(segs)
+    seg_nnz = tuple(
+        max(int(seg_counts[:, r].max()), 1 if r == 0 else 0)
+        for r in range(n_parts)
+    )
+    total = sum(seg_nnz)
+
+    r_arr = np.zeros((n_parts, total), np.int32)
+    c_arr = np.zeros((n_parts, total), np.int32)
+    v_arr = np.zeros((n_parts, total), np.float32)
+    send_idx = np.zeros((n_parts, max(n_parts - 1, 1), halo_per_round),
+                        np.int32)
+    send_mask = np.zeros((n_parts, max(n_parts - 1, 1), halo_per_round),
+                         np.float32)
 
     for p in range(n_parts):
-        # local ids of halo rows: offset by ring round
-        halo_pos: dict[int, int] = {}
-        for r in range(1, n_parts):
-            q = (p - r) % n_parts
-            lst = need[p].get(q, np.zeros(0, np.int64))
-            base = c_local + (r - 1) * halo_per_round
-            for j, g in enumerate(lst):
-                halo_pos[int(g)] = base + j
-        sel = row_owner(rows) == p
-        rr, cc, vv = rows[sel], cols[sel], vals[sel]
-        local_cols = np.where(
-            owner(cc) == p,
-            cc - p * c_local,
-            np.asarray([halo_pos.get(int(g), 0) for g in cc]),
-        )
-        k = rr.size
-        r_arr[p, :k] = rr - p * n_local
-        c_arr[p, :k] = local_cols
-        v_arr[p, :k] = vv
+        off = 0
+        for r in range(n_parts):
+            rr, cr, vv = per_part[p][r]
+            r_arr[p, off : off + rr.size] = rr
+            c_arr[p, off : off + rr.size] = cr
+            v_arr[p, off : off + rr.size] = vv
+            off += seg_nnz[r]
         # what we send at round r: the col rows (p + r) % P needs from us
         for r in range(1, n_parts):
             q = (p + r) % n_parts
@@ -236,7 +262,7 @@ def partition_halo(
     shard = HaloShard(
         rows=r_arr, cols=c_arr, vals=v_arr, send_idx=send_idx,
         send_mask=send_mask, n_local=n_local, c_local=c_local,
-        n_parts=n_parts, halo_per_round=halo_per_round,
+        n_parts=n_parts, halo_per_round=halo_per_round, seg_nnz=seg_nnz,
     )
     if x is None:
         return shard, None
@@ -246,30 +272,74 @@ def partition_halo(
     return shard, xp.reshape(n_parts, c_local, f)
 
 
-def halo_spmm(shard: HaloShard, x_sharded: Array, mesh: Mesh) -> Array:
-    """``L @ x`` exchanging only halo rows via P−1 ``ppermute`` rounds.
+def halo_matvec_local(
+    shard: HaloShard,
+    x_local: Array,
+    *,
+    rows: Array | None = None,
+    cols: Array | None = None,
+    vals: Array | None = None,
+    send_idx: Array | None = None,
+    send_mask: Array | None = None,
+    axis: str = "graph",
+) -> Array:
+    """One part's ``L @ x`` inside shard_map, with transfer/compute overlap.
 
-    XLA overlaps each round's transfer with the gather of the send block for
-    the next round; the SpMM itself runs after the last round (same result
-    as `sharded_spmm`, a fraction of the communication volume).
+    All P−1 ppermutes are issued up front; the local-column segment is
+    multiplied while they fly, and each round's segment accumulates as its
+    halo block lands — XLA schedules the ICI DMAs concurrently with the
+    gather/segment-sum work of earlier rounds.  Defaults read the per-part
+    arrays from ``shard`` (leading stacked axis of size 1, the shard_map
+    layout); explicit keyword arrays override for pre-squeezed callers.
     """
     p_total = shard.n_parts
-    h = shard.halo_per_round
+    rows = shard.rows[0] if rows is None else rows
+    cols = shard.cols[0] if cols is None else cols
+    vals = shard.vals[0] if vals is None else vals
+    send_idx = shard.send_idx[0] if send_idx is None else send_idx
+    send_mask = shard.send_mask[0] if send_mask is None else send_mask
 
+    halos = []
+    for r in range(1, p_total):
+        block = x_local[send_idx[r - 1]] * send_mask[r - 1][:, None]
+        perm = [(i, (i + r) % p_total) for i in range(p_total)]
+        halos.append(jax.lax.ppermute(block, axis, perm))
+
+    seg = shard.seg_nnz
+    out = spmm_coo(
+        rows[: seg[0]], cols[: seg[0]], vals[: seg[0]], x_local, shard.n_local
+    )
+    off = seg[0]
+    for r in range(1, p_total):
+        s = seg[r]
+        if s:
+            out = out + spmm_coo(
+                rows[off : off + s], cols[off : off + s],
+                vals[off : off + s], halos[r - 1], shard.n_local,
+            )
+        off += s
+    return out
+
+
+def halo_spmm(shard: HaloShard, x_sharded: Array, mesh: Mesh) -> Array:
+    """``L @ x`` exchanging only halo rows via P−1 ``ppermute`` rounds,
+    with communication/compute overlap.
+
+    The local-column entries are multiplied FIRST (they depend on no
+    transfer), and each halo round's entries accumulate as soon as that
+    round's block arrives — so XLA's scheduler is free to run round r's
+    ppermute on the ICI DMA engines while round r−1's partial SpMM occupies
+    the vector units (the CP/ring-attention overlap pattern, SURVEY.md §7
+    hard-part 5).  All ppermutes are issued up front so their sends don't
+    serialize behind compute.  Same result as `sharded_spmm`, a fraction of
+    the communication volume.
+    """
     def local(rows, cols, vals, send_idx, send_mask, x_local):
-        rows, cols, vals = rows[0], cols[0], vals[0]
-        send_idx, send_mask, x_local = send_idx[0], send_mask[0], x_local[0]
-        halos = []
-        for r in range(1, p_total):
-            block = x_local[send_idx[r - 1]] * send_mask[r - 1][:, None]
-            perm = [(i, (i + r) % p_total) for i in range(p_total)]
-            halos.append(jax.lax.ppermute(block, "graph", perm))
-        x_ext = (
-            jnp.concatenate([x_local] + halos, axis=0)
-            if halos
-            else x_local
+        out = halo_matvec_local(
+            shard, x_local[0],
+            rows=rows[0], cols=cols[0], vals=vals[0],
+            send_idx=send_idx[0], send_mask=send_mask[0],
         )
-        out = spmm_coo(rows, cols, vals, x_ext, shard.n_local)
         return out[None]
 
     fn = jax.shard_map(

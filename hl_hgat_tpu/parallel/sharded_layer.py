@@ -27,7 +27,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from hl_hgat_tpu.complex.batch import _pytree_dataclass
 from hl_hgat_tpu.complex.build import GraphStructure
-from hl_hgat_tpu.ops.spmm import spmm_coo
 from hl_hgat_tpu.parallel.graph_parallel import HaloShard, partition_halo
 
 Array = jax.Array
@@ -98,18 +97,9 @@ def pad_features(x: np.ndarray, n_parts: int) -> np.ndarray:
 
 def _halo_matvec_local(shard: HaloShard, x_local: Array) -> Array:
     """One part's L @ x with ring halo exchange (inside shard_map)."""
-    p_total = shard.n_parts
-    halos = []
-    for r in range(1, p_total):
-        block = x_local[shard.send_idx[0, r - 1]] * shard.send_mask[0, r - 1][
-            :, None
-        ]
-        perm = [(i, (i + r) % p_total) for i in range(p_total)]
-        halos.append(jax.lax.ppermute(block, "graph", perm))
-    x_ext = jnp.concatenate([x_local] + halos, axis=0) if halos else x_local
-    return spmm_coo(
-        shard.rows[0], shard.cols[0], shard.vals[0], x_ext, shard.n_local
-    )
+    from hl_hgat_tpu.parallel.graph_parallel import halo_matvec_local
+
+    return halo_matvec_local(shard, x_local)
 
 
 def _sharded_bn(x: Array, mask: Array, scale, offset, eps=1e-5) -> Array:

@@ -252,6 +252,66 @@ class TestGraphParallel:
         np.testing.assert_allclose(out_t, y_t, rtol=1e-3, atol=1e-4)
         np.testing.assert_allclose(out_s, y_s, rtol=1e-3, atol=1e-4)
 
+    def test_gp_full_model_matches_single_device(self, mesh_graph, rng):
+        """The FULL graph-level model (backbone + MSI + Laguerre convs +
+        attention pooling + readout + MLP head) on one complex sharded over
+        8 devices equals the single-device forward, and one Adam train step
+        produces identical parameters (grads flow through the halo SpMM)."""
+        import jax.numpy as jnp
+
+        from hl_hgat_tpu.complex.build import collate
+        from hl_hgat_tpu.data.synthetic import random_simplex_sample
+        from hl_hgat_tpu.parallel.gp_model import build_gp_batch
+        from hl_hgat_tpu.train.losses import l1_loss
+
+        sample = random_simplex_sample(
+            rng, n_nodes=56, extra_edges=40, node_feat=6, edge_feat=4,
+            keig=0, num_pool=1,
+        )
+        model = HLHGCNNGraph(
+            cfg=BackboneConfig(
+                channels=(1, 1), filters=(8, 8), k=3, init_k=2,
+                pool_locs=(0,), att_locs=(0,), att_sigma="sigmoid",
+            ),
+            mlp_channels=(16,),
+            num_classes=1,
+        )
+
+        oracle_batch = jax.tree.map(jnp.asarray, collate([sample]))
+        gp_batch = build_gp_batch(sample, 8, mesh_graph)
+
+        trainer = Trainer(
+            model, TrainerConfig(task="regression", lr=1e-2, weight_decay=0.0)
+        )
+        state = trainer.init_state(oracle_batch)
+
+        out_ref = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            oracle_batch, deterministic=True,
+        )
+        out_gp = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            gp_batch, deterministic=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_gp), np.asarray(out_ref), rtol=1e-4, atol=1e-5
+        )
+
+        # one full train step each; parameters must agree
+        s_ref, loss_ref = trainer._train_step(state, oracle_batch)
+        s_gp, loss_gp = trainer._train_step(
+            trainer.init_state(oracle_batch), gp_batch
+        )
+        np.testing.assert_allclose(
+            float(loss_gp), float(loss_ref), rtol=1e-4
+        )
+        for a, b in zip(
+            jax.tree.leaves(s_gp.params), jax.tree.leaves(s_ref.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+            )
+
     def test_partition_balance(self, rng):
         rows = rng.integers(0, 100, 400).astype(np.int32)
         cols = rng.integers(0, 100, 400).astype(np.int32)
