@@ -12,6 +12,8 @@ from hl_hgat_tpu.models.backbone import (
     BackboneConfig,
     DenseInt3Backbone,
     HLHGCNNGraph,
+    HLHGCNNLinkPred,
+    HLHGCNNNode,
     HLHGCNNTsp,
 )
 from hl_hgat_tpu.models.abcd import HLHGCNNAbcd
@@ -22,6 +24,8 @@ __all__ = [
     "BackboneConfig",
     "DenseInt3Backbone",
     "HLHGCNNGraph",
+    "HLHGCNNNode",
+    "HLHGCNNLinkPred",
     "HLHGCNNTsp",
     "HLHGCNNAbcd",
     "HLHGATAttpool",

@@ -263,6 +263,83 @@ class HLHGCNNGraph(nn.Module):
         return (out, extras) if extras else out
 
 
+class HLHGCNNNode(nn.Module):
+    """Node-level model for PascalVOC-SP / COCO-SP node classification.
+
+    The reference ships LRGB loaders for these datasets
+    (lib/LRGBDataset.py:26-306) but no model; this head extends the family
+    with the node-side mirror of the TSP edge model (reference
+    lib/Hodge_ST_Model.py:845-852): the readout concatenates the final node
+    features with the boundary coupling D⁻¹·|B1|·x_s (the MSI direction of
+    reference lib/Hodge_Cheb_Conv.py:100), then applies node-wise K=1
+    Laguerre-conv layers; per-node logits are masked by node validity.
+    """
+
+    cfg: BackboneConfig
+    mlp_channels: tuple[int, ...] = ()
+    num_classes: int = 21
+
+    @nn.compact
+    def __call__(self, batch: ComplexBatch, *, deterministic: bool = False):
+        level = batch.level0
+        feats = DenseInt3Backbone(self.cfg, name="backbone")(
+            batch.x_t, batch.x_s, batch, deterministic=deterministic
+        )
+        x_t, x_s = feats["x_t"], feats["x_s"]
+        from hl_hgat_tpu.ops.dispatch import abs_b1_s2t
+
+        deg = level.deg + self.cfg.deg_eps
+        s2t = abs_b1_s2t(level, x_s)
+        s2t = s2t / jnp.where(deg > 0, deg, 1.0)[..., None].astype(s2t.dtype)
+        x_t = jnp.concatenate([x_t, s2t], axis=-1)
+        for i, width in enumerate(self.mlp_channels):
+            x_t = ConvBNAct(
+                width, 1, self.cfg.act, self.cfg.leaky_slope,
+                self.cfg.dropout, name=f"mlp{i}",
+            )(x_t, level.l0, level.node_mask, deterministic=deterministic)
+        logits = LaguerreConv(self.num_classes, 1, name="out")(x_t, level.l0)
+        return apply_node_mask(level, logits.astype(jnp.float32))
+
+
+class HLHGCNNLinkPred(nn.Module):
+    """Link-prediction model for PCQM-Contact.
+
+    The reference ships the loader (lib/LRGBDataset.py pcqm-contact branch)
+    but no model; this head scores candidate node pairs from the backbone's
+    final node features with a bilinear-style MLP on
+    [h_u ‖ h_v ‖ h_u⊙h_v].  ``pairs``: [P, 2] int32 node ids (padded rows
+    point anywhere and are killed by ``pair_mask``).
+    """
+
+    cfg: BackboneConfig
+    mlp_channels: tuple[int, ...] = (128,)
+
+    @nn.compact
+    def __call__(
+        self,
+        batch: ComplexBatch,
+        pairs: Array,
+        pair_mask: Array,
+        *,
+        deterministic: bool = False,
+    ):
+        feats = DenseInt3Backbone(self.cfg, name="backbone")(
+            batch.x_t, batch.x_s, batch, deterministic=deterministic
+        )
+        h = feats["x_t"]
+        hu = jnp.take(h, pairs[:, 0].astype(jnp.int32), axis=0)
+        hv = jnp.take(h, pairs[:, 1].astype(jnp.int32), axis=0)
+        z = jnp.concatenate([hu, hv, hu * hv], axis=-1)
+        for i, width in enumerate(self.mlp_channels):
+            z = TorchLinear(width, name=f"mlp{i}_lin")(z)
+            z = MaskedBatchNorm(width, name=f"mlp{i}_bn")(
+                z, pair_mask, use_running_average=deterministic
+            )
+            z = activation(self.cfg.act, self.cfg.leaky_slope)(z)
+        logit = TorchLinear(1, name="out")(z).astype(jnp.float32)[:, 0]
+        return logit * pair_mask.astype(jnp.float32)
+
+
 class HLHGCNNTsp(nn.Module):
     """Edge-level model (reference HL_HGCNN_TSP_dense_int3_pyr,
     lib/Hodge_ST_Model.py:756-852): readout concatenates x_s with

@@ -221,8 +221,54 @@ def hgat_attpool(
     ), dict(task="regression", y_mean=95.1377, y_std=7.3)
 
 
+# ---------------------------------------------------------------------------
+# LRGB extensions — PascalVOC-SP / COCO-SP node classification and
+# PCQM-Contact link prediction (the reference ships loaders,
+# lib/LRGBDataset.py:26-306, but no models; these extend the family with the
+# TSP edge head's node/pair-level mirrors)
+# ---------------------------------------------------------------------------
+
+
+def pascalvoc_node(
+    channels=(2, 2, 2), filters=(64, 128, 256), k=4, dropout=0.1,
+    mlp_channels=(128,), num_classes=21,
+):
+    from hl_hgat_tpu.models.backbone import HLHGCNNNode
+
+    cfg = BackboneConfig(
+        channels=tuple(channels), filters=tuple(filters), k=k, init_k=1,
+        act="relu", dropout=dropout, deg_eps=1e-6,
+    )
+    return HLHGCNNNode(
+        cfg=cfg, mlp_channels=tuple(mlp_channels), num_classes=num_classes
+    ), dict(task="node_classification")
+
+
+def coco_node(**kw):
+    kw.setdefault("num_classes", 81)
+    return pascalvoc_node(**kw)
+
+
+def pcqm_link(
+    channels=(2, 2, 2), filters=(64, 128, 256), k=4, dropout=0.1,
+    mlp_channels=(128,),
+):
+    from hl_hgat_tpu.models.backbone import HLHGCNNLinkPred
+
+    cfg = BackboneConfig(
+        channels=tuple(channels), filters=tuple(filters), k=k, init_k=1,
+        act="relu", dropout=dropout, deg_eps=1e-6,
+    )
+    return HLHGCNNLinkPred(
+        cfg=cfg, mlp_channels=tuple(mlp_channels)
+    ), dict(task="link_prediction")
+
+
 PRESETS = {
     "zinc_pyr": zinc_pyr,
+    "pascalvoc_node": pascalvoc_node,
+    "coco_node": coco_node,
+    "pcqm_link": pcqm_link,
     "zinc_attpool": zinc_attpool,
     "zinc_poolint3_pyr": zinc_poolint3_pyr,
     "pepfunc_attpool": pepfunc_attpool,

@@ -90,6 +90,44 @@ def eval_ap(y_true: np.ndarray, y_pred: np.ndarray) -> float:
     return float(np.mean(aps))
 
 
+def macro_f1(
+    logits: np.ndarray,
+    labels: np.ndarray,
+    num_classes: int,
+    mask: np.ndarray | None = None,
+) -> float:
+    """Macro-averaged multiclass F1 (the LRGB node-classification metric for
+    PascalVOC-SP / COCO-SP).  Classes absent from both prediction and truth
+    are skipped, matching sklearn's default macro averaging over present
+    labels."""
+    pred = np.argmax(np.asarray(logits), axis=-1).reshape(-1)
+    labels = np.asarray(labels).reshape(-1).astype(np.int64)
+    if mask is not None:
+        keep = np.asarray(mask).reshape(-1) > 0
+        pred, labels = pred[keep], labels[keep]
+    f1s = []
+    for c in range(num_classes):
+        tp = float(np.sum((pred == c) & (labels == c)))
+        fp = float(np.sum((pred == c) & (labels != c)))
+        fn = float(np.sum((pred != c) & (labels == c)))
+        if tp + fp + fn == 0:
+            continue
+        f1s.append(2 * tp / max(2 * tp + fp + fn, 1e-12))
+    return float(np.mean(f1s)) if f1s else 0.0
+
+
+def mrr(pos_scores: np.ndarray, neg_scores: np.ndarray) -> float:
+    """Mean reciprocal rank (the PCQM-Contact link-prediction metric).
+
+    ``pos_scores``: [Q] score of each query's true link; ``neg_scores``:
+    [Q, K] scores of its negative candidates.  Optimistic-tie handling
+    (rank = 1 + #negatives strictly greater), the torchmetrics default."""
+    pos = np.asarray(pos_scores).reshape(-1, 1)
+    neg = np.asarray(neg_scores).reshape(pos.shape[0], -1)
+    rank = 1.0 + np.sum(neg > pos, axis=1)
+    return float(np.mean(1.0 / rank))
+
+
 def pearson_corr(pred: Array, target: Array) -> Array:
     p = pred.reshape(-1) - jnp.mean(pred)
     t = target.reshape(-1) - jnp.mean(target)

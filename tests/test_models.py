@@ -121,6 +121,91 @@ class TestTsp:
         assert np.isfinite(float(val))
 
 
+class TestLrgbHeads:
+    def test_node_classification_masked(self):
+        from hl_hgat_tpu.complex.build import collate
+        from hl_hgat_tpu.data.synthetic import random_simplex_sample
+
+        rng = np.random.default_rng(0)
+        samples = []
+        for _ in range(3):
+            s = random_simplex_sample(
+                rng, n_nodes=12, node_feat=14, edge_feat=2, keig=4, y_dim=1
+            )
+            s.y = rng.integers(0, 21, (s.num_nodes, 1)).astype(np.float32)
+            samples.append(s)
+        batch = to_device(collate(samples, y_per_node=True))
+        model, meta = presets.pascalvoc_node(
+            channels=(1,), filters=(8,), k=2, mlp_channels=(8,)
+        )
+        assert meta["task"] == "node_classification"
+        variables, out = init_and_forward(model, batch)
+        lvl = batch.levels[0]
+        assert out.shape == (lvl.num_nodes, 21)
+        pad = np.asarray(lvl.node_mask) == 0
+        np.testing.assert_allclose(np.asarray(out)[pad], 0.0)
+        val, leaves = loss_and_grads(model, variables, batch)
+        assert np.isfinite(float(val))
+
+    def test_link_prediction_head(self):
+        from hl_hgat_tpu.complex.build import collate
+        from hl_hgat_tpu.data.synthetic import random_simplex_sample
+
+        rng = np.random.default_rng(1)
+        s = random_simplex_sample(
+            rng, n_nodes=16, node_feat=9, edge_feat=3, keig=4
+        )
+        batch = to_device(collate([s]))
+        n = s.num_nodes
+        pairs = jnp.asarray(
+            rng.integers(0, n, (10, 2)).astype(np.int32)
+        )
+        pair_mask = jnp.asarray((np.arange(10) < 7).astype(np.float32))
+        model, meta = presets.pcqm_link(
+            channels=(1,), filters=(8,), k=2, mlp_channels=(8,)
+        )
+        assert meta["task"] == "link_prediction"
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            batch, pairs, pair_mask, deterministic=True,
+        )
+        out = model.apply(
+            variables, batch, pairs, pair_mask, deterministic=True
+        )
+        assert out.shape == (10,)
+        np.testing.assert_allclose(np.asarray(out)[7:], 0.0)
+
+        def loss_fn(params):
+            o, _ = model.apply(
+                {**variables, "params": params}, batch, pairs, pair_mask,
+                deterministic=False, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(2)},
+            )
+            return jnp.sum(o**2)
+
+        val, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        assert np.isfinite(float(val))
+        assert all(
+            np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads)
+        )
+
+    def test_macro_f1_and_mrr(self):
+        from hl_hgat_tpu.train.metrics import macro_f1, mrr
+
+        logits = np.array(
+            [[2.0, 0.0, 0.0], [0.0, 2.0, 0.0], [0.0, 2.0, 0.0], [9.0, 0, 0]]
+        )
+        labels = np.array([0, 1, 0, 0])
+        # mask drops the last row; pred = [0,1,1], truth = [0,1,0]
+        # class 0: tp=1 fp=0 fn=1 → f1=2/3; class1: tp=1 fp=1 fn=0 → 2/3
+        f1 = macro_f1(logits, labels, 3, mask=np.array([1, 1, 1, 0]))
+        np.testing.assert_allclose(f1, 2 / 3, rtol=1e-6)
+        # ranks: 1 (no neg above 0.9) and 3 (two negs above 0.1)
+        m = mrr(np.array([0.9, 0.1]),
+                np.array([[0.5, 0.2, 0.1], [0.5, 0.2, 0.05]]))
+        np.testing.assert_allclose(m, (1.0 + 1.0 / 3.0) / 2.0, rtol=1e-6)
+
+
 class TestBrain:
     def test_abcd_attpool(self):
         batch, n_f, e_f = synthetic_brain_batch(3, n_rois=24, t_len=32,
