@@ -38,9 +38,10 @@ BASELINE_EDGES_PER_SEC = 1.0e6
 
 STEPS_PER_CALL = 10
 TIMED_CALLS = 3
-# 4096 is the measured single-chip sweet spot (16k OOMs in f32; bf16 is
-# slower at these tile sizes — see benchmarks/RESULTS.md)
-BATCH_GRAPHS = int(os.environ.get("BENCH_BATCH_GRAPHS", "4096"))
+# Measured single-chip sweet spot: batch 12288, bf16 activations, per-layer
+# remat → 935.7M edges/s (14336 OOMs at 17.5G; full sweep in
+# benchmarks/RESULTS.md).  Override any of the three via env.
+BATCH_GRAPHS = int(os.environ.get("BENCH_BATCH_GRAPHS", "12288"))
 
 
 def main() -> None:
@@ -63,7 +64,8 @@ def main() -> None:
     model, meta = presets.zinc_pyr(
         channels=(2, 3, 3), filters=(64, 128, 256), k=6, keig=15,
         mlp_channels=(256, 256),
-        compute_dtype=os.environ.get("BENCH_DTYPE", "float32"),
+        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
+        remat=os.environ.get("BENCH_REMAT", "1") == "1",
     )
     if mode == "dense":
         rng = np.random.default_rng(0)
@@ -124,7 +126,7 @@ def main() -> None:
         "unit": "edges/s",
         "vs_baseline": round(edges_per_sec / BASELINE_EDGES_PER_SEC, 3),
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
     print(
         json.dumps(
             dict(

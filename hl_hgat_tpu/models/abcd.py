@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from hl_hgat_tpu.complex.batch import ComplexBatch
-from hl_hgat_tpu.models.backbone import BackboneConfig, DenseInt3Backbone, MLPHead
+from hl_hgat_tpu.models.backbone import BackboneConfig, MLPHead, make_backbone
 from hl_hgat_tpu.nn.conv import LaguerreConv
 from hl_hgat_tpu.nn.inception import Inception1D
 
@@ -55,8 +55,8 @@ class HLHGCNNAbcd(nn.Module):
             name="node_embedding",
         )(batch.x_t, level0.node_mask, deterministic=deterministic)
         x_t = x_t * level0.node_mask[:, None]
-        feats = DenseInt3Backbone(self.cfg, name="backbone")(
-            x_t, batch.x_s, batch, deterministic=deterministic
+        feats = make_backbone(self.cfg)(
+            x_t, batch.x_s, batch, deterministic
         )
         level = batch.levels[feats["level_idx"]]
         # K=1 conv readout to one channel per simplex (reference :86-91)

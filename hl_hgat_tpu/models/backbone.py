@@ -71,6 +71,14 @@ class BackboneConfig:
     # params stay fp32, matmuls accumulate fp32 (preferred_element_type), BN
     # statistics are computed in fp32 regardless.
     compute_dtype: str = "float32"
+    # rematerialize each MSI/conv layer in the backward pass (per-layer
+    # nn.remat): residuals shrink from every layer's Laguerre term pyramid
+    # to the layer inputs, and each layer's backward replays only that
+    # layer.  Unlocks batches past the HBM wall at ~1 extra forward of
+    # recompute (benchmarks/RESULTS.md; coarser granularity measured worse —
+    # see make_backbone).  Parameter trees are unchanged (lifted transform
+    # keeps scope names).
+    remat: bool = False
 
 
 class DenseInt3Backbone(nn.Module):
@@ -86,9 +94,10 @@ class DenseInt3Backbone(nn.Module):
         x_t: Array,
         x_s: Array,
         batch: ComplexBatch,
-        *,
         deterministic: bool = False,
     ):
+        # ``deterministic`` is positional-friendly so make_backbone can mark
+        # it static under nn.remat (static_argnums=(4,))
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
         x_t = x_t.astype(dtype)
@@ -110,21 +119,28 @@ class DenseInt3Backbone(nn.Module):
 
         k = 0  # pooling level index
         atts: list[tuple[Array, Array]] = []
+        if cfg.remat:
+            # static_argnums count self: (x_t, x_s, level, deg, det) → 5 /
+            # (x_t, x_s, level, det) → 4
+            NEIntCls = nn.remat(NodeEdgeInt, static_argnums=(5,))
+            NEPairCls = nn.remat(NEConvPair, static_argnums=(4,))
+        else:
+            NEIntCls, NEPairCls = NodeEdgeInt, NEConvPair
         for i, width in enumerate(cfg.filters):
             for j in range(cfg.channels[i]):
                 if cfg.msi_per_layer:
-                    x_t, x_s = NodeEdgeInt(
+                    x_t, x_s = NEIntCls(
                         dv=width, lam=cfg.att_lam, name=f"NEInt{i}{j}"
-                    )(x_t0, x_s0, level, deg, deterministic=deterministic)
-                    x_t, x_s = NEConvPair(
+                    )(x_t0, x_s0, level, deg, deterministic)
+                    x_t, x_s = NEPairCls(
                         width, cfg.k, cfg.act, cfg.leaky_slope, cfg.dropout,
                         name=f"NEConv{i}{j}",
-                    )(x_t, x_s, level, deterministic=deterministic)
+                    )(x_t, x_s, level, deterministic)
                 else:
-                    x_t, x_s = NEConvPair(
+                    x_t, x_s = NEPairCls(
                         width, cfg.k, cfg.act, cfg.leaky_slope, cfg.dropout,
                         name=f"NEConv{i}{j}",
-                    )(x_t0, x_s0, level, deterministic=deterministic)
+                    )(x_t0, x_s0, level, deterministic)
                 x_t0 = jnp.concatenate([x_t0, x_t], axis=-1)
                 x_s0 = jnp.concatenate([x_s0, x_s], axis=-1)
                 snapshots.append((x_t, x_s))
@@ -132,8 +148,8 @@ class DenseInt3Backbone(nn.Module):
             if not cfg.msi_per_layer:
                 # poolint3: one MSI per block after the convs (reference
                 # lib/Hodge_ST_Model.py:737-740)
-                x_t, x_s = NodeEdgeInt(dv=width, name=f"NEInt{i}")(
-                    x_t0, x_s0, level, deg, deterministic=deterministic
+                x_t, x_s = NEIntCls(dv=width, name=f"NEInt{i}")(
+                    x_t0, x_s0, level, deg, deterministic
                 )
                 x_t0 = jnp.concatenate([x_t0, x_t], axis=-1)
                 x_s0 = jnp.concatenate([x_s0, x_s], axis=-1)
@@ -173,6 +189,22 @@ class DenseInt3Backbone(nn.Module):
             # (reference lib/Visualization.py:35-122 emits sout/tout)
             snapshots=snapshots,
         )
+
+
+def make_backbone(cfg: BackboneConfig, name: str = "backbone"):
+    """The shared trunk (one place to apply lifted transforms).
+
+    Remat granularity note (measured, benchmarks/RESULTS.md): wrapping the
+    WHOLE trunk in one nn.remat — even with a save-only-layer-outputs
+    policy — makes memory WORSE (28.5G vs 19G at batch 16k bf16), because
+    the single region's backward replays the full forward and then holds
+    every recomputed dense-concat stack live at once, i.e. the non-remat
+    peak.  Per-layer remat (applied inside `DenseInt3Backbone` when
+    ``cfg.remat``) is what shrinks the peak: each layer's backward replays
+    only that layer, so at most one layer's internals are live on top of
+    the saved stack snapshots.
+    """
+    return DenseInt3Backbone(cfg, name=name)
 
 
 class MLPHead(nn.Module):
@@ -240,8 +272,8 @@ class HLHGCNNGraph(nn.Module):
             )
             x_t = apply_node_mask(batch.level0, x_t)
             x_s = apply_edge_mask(batch.level0, x_s)
-        feats = DenseInt3Backbone(self.cfg, name="backbone")(
-            x_t, x_s, batch, deterministic=deterministic
+        feats = make_backbone(self.cfg)(
+            x_t, x_s, batch, deterministic
         )
         level = batch.levels[feats["level_idx"]]
         pooled = jnp.concatenate(
@@ -282,8 +314,8 @@ class HLHGCNNNode(nn.Module):
     @nn.compact
     def __call__(self, batch: ComplexBatch, *, deterministic: bool = False):
         level = batch.level0
-        feats = DenseInt3Backbone(self.cfg, name="backbone")(
-            batch.x_t, batch.x_s, batch, deterministic=deterministic
+        feats = make_backbone(self.cfg)(
+            batch.x_t, batch.x_s, batch, deterministic
         )
         x_t, x_s = feats["x_t"], feats["x_s"]
         from hl_hgat_tpu.ops.dispatch import abs_b1_s2t
@@ -323,8 +355,8 @@ class HLHGCNNLinkPred(nn.Module):
         *,
         deterministic: bool = False,
     ):
-        feats = DenseInt3Backbone(self.cfg, name="backbone")(
-            batch.x_t, batch.x_s, batch, deterministic=deterministic
+        feats = make_backbone(self.cfg)(
+            batch.x_t, batch.x_s, batch, deterministic
         )
         h = feats["x_t"]
         hu = jnp.take(h, pairs[:, 0].astype(jnp.int32), axis=0)
@@ -354,8 +386,8 @@ class HLHGCNNTsp(nn.Module):
     def __call__(self, batch: ComplexBatch, *, deterministic: bool = False):
         level = batch.level0
         x_s, aug_mask = batch.x_s[..., :-1], batch.x_s[..., -1:]
-        feats = DenseInt3Backbone(self.cfg, name="backbone")(
-            batch.x_t, x_s, batch, deterministic=deterministic
+        feats = make_backbone(self.cfg)(
+            batch.x_t, x_s, batch, deterministic
         )
         x_t, x_s = feats["x_t"], feats["x_s"]
         # abs AFTER the product (reference lib/Hodge_ST_Model.py:848)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from hl_hgat_tpu.complex.batch import ComplexBatch
 from hl_hgat_tpu.models.abcd import flatten_per_graph
-from hl_hgat_tpu.models.backbone import BackboneConfig, DenseInt3Backbone, MLPHead
+from hl_hgat_tpu.models.backbone import BackboneConfig, MLPHead, make_backbone
 from hl_hgat_tpu.nn.conv import LaguerreConv
 from hl_hgat_tpu.nn.inception import Inception1D
 
@@ -43,8 +43,8 @@ class HLHGATAttpool(nn.Module):
                 x_t, level0.node_mask, deterministic=deterministic
             )
             x_t = x_t * level0.node_mask[:, None]
-        feats = DenseInt3Backbone(self.cfg, name="backbone")(
-            x_t, batch.x_s, batch, deterministic=deterministic
+        feats = make_backbone(self.cfg)(
+            x_t, batch.x_s, batch, deterministic
         )
         level = batch.levels[feats["level_idx"]]
         r_t = LaguerreConv(1, 1, name="readout_node")(feats["x_t"], level.l0)

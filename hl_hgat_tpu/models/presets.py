@@ -26,6 +26,7 @@ def zinc_pyr(
     mlp_channels=(256, 256),
     use_embedding=True,
     compute_dtype="float32",
+    remat=False,
 ):
     """Script variant: shared nn.Embedding(28) inputs, init conv K=1, no
     degree epsilon (reference main_zinc...py:52-53,58,127)."""
@@ -38,6 +39,7 @@ def zinc_pyr(
         dropout=dropout,
         deg_eps=0.0,  # reference quirk (lib/Hodge_ST_Model.py:624)
         compute_dtype=compute_dtype,
+        remat=remat,
     )
     model = HLHGCNNGraph(
         cfg=cfg,

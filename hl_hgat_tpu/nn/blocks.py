@@ -68,8 +68,9 @@ class NEConvPair(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x_t, x_s, level: ComplexLevel, *, deterministic: bool = False
+        self, x_t, x_s, level: ComplexLevel, deterministic: bool = False
     ):
+        # positional-friendly ``deterministic`` for nn.remat static_argnums
         x_t = ConvBNAct(
             self.features, self.k, self.act, self.leaky_slope, self.dropout,
             name="node",

@@ -90,9 +90,10 @@ class NodeEdgeInt(nn.Module):
         x_s: Array,
         level,
         deg: Array,
-        *,
         deterministic: bool = False,
     ) -> tuple[Array, Array]:
+        # ``deterministic`` is positional-friendly so nn.remat can mark it
+        # static (backbone remat path, static_argnums=(5,))
         x_s2t, x_t2s = cross_simplex(x_t, x_s, level, deg)
         if self.only_att:
             act = _sigma(self.sigma)
