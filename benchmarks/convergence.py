@@ -28,6 +28,8 @@ def main(argv=None) -> None:
     ap.add_argument("--n", type=int, default=1024)
     ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args(argv)
 
     import jax
@@ -79,7 +81,8 @@ def main(argv=None) -> None:
     train_b = to_batches(samples[n_val:])
 
     model = HLHGCNNGraph(
-        cfg=BackboneConfig(channels=(2, 2), filters=(32, 64), k=4, init_k=4),
+        cfg=BackboneConfig(channels=(2, 2), filters=(32, 64), k=4, init_k=4,
+                           compute_dtype=args.dtype, remat=args.remat),
         mlp_channels=(64,),
         num_classes=1,
     )
@@ -96,7 +99,8 @@ def main(argv=None) -> None:
     best = min(h["val_metric"] for h in trainer.history)
     print(json.dumps(dict(metric="synthetic_val_mae", value=round(best, 4),
                           label_std=round(float(ys.std()), 4),
-                          ratio=round(best / ys.std(), 3))))
+                          dtype=args.dtype, remat=args.remat,
+                          ratio=round(best / ys.std(), 3))), flush=True)
 
 
 if __name__ == "__main__":
