@@ -36,7 +36,7 @@ import numpy as np
 # denominator recorded alongside the measurement.
 BASELINE_EDGES_PER_SEC = 1.0e6
 
-STEPS_PER_CALL = 10
+STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS", "10"))
 TIMED_CALLS = 3
 # Measured single-chip sweet spot: batch 12288, bf16 activations, per-layer
 # remat → 935.7M edges/s (14336 OOMs at 17.5G; full sweep in
@@ -51,15 +51,17 @@ def main() -> None:
     except Exception:
         pass
 
-    from hl_hgat_tpu.complex.dense import collate_dense
+    from hl_hgat_tpu.complex.dense import collate_dense, collate_dense_packed
     from hl_hgat_tpu.data import synthetic_zinc_batch
     from hl_hgat_tpu.data.synthetic import random_simplex_sample
     from hl_hgat_tpu.models import presets
     from hl_hgat_tpu.train import Trainer, TrainerConfig
 
-    # 'dense' routes every sparse op through batched [G, S, *] matmuls on the
-    # MXU (hl_hgat_tpu.complex.dense); 'coo' is the gather/segment-sum path.
-    mode = sys.argv[1] if len(sys.argv) > 1 else "dense"
+    # 'packed' packs ~4-5 graphs per 128-row dense superblock (block-diagonal
+    # operators — one MXU tile pass per Laplacian mat-vec instead of one per
+    # graph); 'dense' is one graph per [G, S, *] block; 'coo' is the
+    # gather/segment-sum path.
+    mode = sys.argv[1] if len(sys.argv) > 1 else "packed"
 
     model, meta = presets.zinc_pyr(
         channels=(2, 3, 3), filters=(64, 128, 256), k=6, keig=15,
@@ -67,7 +69,7 @@ def main() -> None:
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         remat=os.environ.get("BENCH_REMAT", "1") == "1",
     )
-    if mode == "dense":
+    if mode in ("dense", "packed"):
         rng = np.random.default_rng(0)
         samples = []
         for _ in range(BATCH_GRAPHS):
@@ -79,7 +81,10 @@ def main() -> None:
             s.x_t[:, 0] = rng.integers(0, 28, s.x_t.shape[0])
             s.x_s[:, 0] = rng.integers(0, 4, s.x_s.shape[0])
             samples.append(s)
-        batch = collate_dense(samples, multiple=8)
+        if mode == "packed":
+            batch = collate_dense_packed(samples, node_cap=128, edge_cap=128)
+        else:
+            batch = collate_dense(samples, multiple=8)
         real_edges = int(np.asarray(batch.levels[0].edge_mask).sum())
     else:
         batch = synthetic_zinc_batch(
@@ -104,17 +109,25 @@ def main() -> None:
 
     multi_step = jax.jit(multi_step, donate_argnums=(0,))
 
+    # Synchronization: on the tunneled TPU backend `jax.block_until_ready`
+    # returns before execution finishes (measured: a 10-step scan "blocks"
+    # in 0.1 ms while the following host readback waits 437 ms —
+    # benchmarks/sync_probe.py).  A host transfer is the only reliable
+    # barrier, so every timed call reads the loss back.
+    def sync(x):
+        return float(np.asarray(x)[-1])
+
     # warmup / compile
     t0 = time.time()
     state, losses = multi_step(state, batch)
-    jax.block_until_ready(losses)
+    sync(losses)
     compile_s = time.time() - t0
 
     times = []
     for _ in range(TIMED_CALLS):
         t0 = time.time()
         state, losses = multi_step(state, batch)
-        jax.block_until_ready(losses)
+        sync(losses)
         times.append(time.time() - t0)
 
     best = min(times)

@@ -25,13 +25,14 @@ REPS = 100  # scan length inside one jit call (tunnel RTT ~30 ms/dispatch)
 
 
 def time_call(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # host readback as the barrier: block_until_ready is a no-op on the
+    # tunneled backend (benchmarks/sync_probe.py)
+    np.asarray(fn(*args))
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
         out = fn(*args)
-        jax.block_until_ready(out)
+        np.asarray(out)
         best = min(best, time.time() - t0)
     return best / REPS
 
@@ -68,7 +69,7 @@ def main() -> None:
             def body(c, _):
                 return matvec(c), None
             out, _ = jax.lax.scan(body, x, None, length=REPS)
-            return out
+            return jnp.sum(out)  # scalar readback = cheap sync barrier
         return run
 
     def scan_fwdbwd(matvec):
@@ -78,7 +79,7 @@ def main() -> None:
                 g = jax.grad(lambda xx: jnp.sum(matvec(xx) ** 2))(c)
                 return g / jnp.maximum(jnp.linalg.norm(g), 1e-6), None
             out, _ = jax.lax.scan(body, x, None, length=REPS)
-            return out
+            return jnp.sum(out)  # scalar readback = cheap sync barrier
         return run
 
     variants = {

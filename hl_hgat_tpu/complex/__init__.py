@@ -29,6 +29,8 @@ from hl_hgat_tpu.complex.dense import (
     DenseLevel,
     DensePool,
     collate_dense,
+    collate_dense_packed,
+    pack_graphs,
     dense_pad_spec,
 )
 
@@ -51,5 +53,7 @@ __all__ = [
     "DenseLevel",
     "DensePool",
     "collate_dense",
+    "collate_dense_packed",
+    "pack_graphs",
     "dense_pad_spec",
 ]

@@ -27,6 +27,16 @@ def _sample_cost(s: GraphSample) -> int:
 
 @dataclasses.dataclass
 class BucketedLoader:
+    """``layout``:
+
+    * ``"coo"`` — flat `ComplexBatch` (general path);
+    * ``"dense_packed"`` — superblock `DenseBatch` (MXU fast path,
+      complex/dense.py): ~4-5 small graphs per 128-row tile, block count
+      padded to a per-bucket static cap so the jitted step compiles once per
+      bucket.  Depth-1 pyramids only (pooled models use coo or per-graph
+      dense).
+    """
+
     samples: Sequence[GraphSample]
     batch_size: int
     shuffle: bool = True
@@ -35,8 +45,17 @@ class BucketedLoader:
     pad_multiple: int = 8
     pad_slack: float = 1.0
     seed: int = 0
+    layout: str = "coo"
+    node_cap: int = 128
+    edge_cap: int = 128
 
     def __post_init__(self):
+        if self.layout not in ("coo", "dense_packed"):
+            raise ValueError(f"unknown layout {self.layout!r}")
+        if self.layout == "dense_packed" and len(self.samples[0].levels) > 1:
+            raise NotImplementedError(
+                "dense_packed layout supports depth-1 complexes (no pyramid)"
+            )
         costs = np.asarray([_sample_cost(s) for s in self.samples])
         if self.num_buckets > 1:
             qs = np.quantile(
@@ -84,6 +103,16 @@ class BucketedLoader:
             idx = np.nonzero(self._bucket_of == b)[0]
             members = [self.samples[i] for i in idx] or list(self.samples)
             self._filler.append(min(members, key=_sample_cost))
+        # packed layout: static per-bucket block cap — worst-case packing is
+        # bounded by next-fit's guarantee (each bin ≥ half full except the
+        # last per resource), so 2·(worst totals / cap) + 1 always suffices;
+        # the actual packer result is asserted against this at iter time.
+        if self.layout == "dense_packed":
+            # Emitted block count = actual packing rounded up to a multiple
+            # of 16: absorbs shuffle-to-shuffle variance so the jitted step
+            # sees one or two distinct shapes per bucket, without paying the
+            # worst-case bin-packing bound in empty blocks every batch.
+            self._block_multiple = 16
         self._epoch = 0
 
     @property
@@ -112,6 +141,25 @@ class BucketedLoader:
                 # partial batch; evaluation should use batch_size | N)
                 while len(batch_samples) < self.batch_size:
                     batch_samples.append(self._filler[b])
-                yield collate(
-                    batch_samples, self._pads[b], y_per_edge=self.y_per_edge
-                )
+                if self.layout == "dense_packed":
+                    from hl_hgat_tpu.complex.dense import (
+                        collate_dense_packed,
+                        pack_graphs,
+                    )
+
+                    bins = pack_graphs(
+                        batch_samples, self.node_cap, self.edge_cap
+                    )
+                    m = self._block_multiple
+                    yield collate_dense_packed(
+                        batch_samples,
+                        node_cap=self.node_cap,
+                        edge_cap=self.edge_cap,
+                        y_per_edge=self.y_per_edge,
+                        bins=bins,
+                        num_blocks=-(-len(bins) // m) * m,
+                    )
+                else:
+                    yield collate(
+                        batch_samples, self._pads[b], y_per_edge=self.y_per_edge
+                    )

@@ -121,6 +121,14 @@ def masked_mean_nodes(level, x: Array, num_graphs: int) -> Array:
     """Per-graph mean over valid nodes → [G, F]."""
     if isinstance(level, ComplexLevel):
         return segment_mean(x, level.n_id, num_graphs, weights=level.node_mask)
+    if level.n_gid is not None:
+        # packed superblocks: rows of one tile belong to several graphs
+        return segment_mean(
+            x.reshape(-1, x.shape[-1]),
+            level.n_gid.reshape(-1),
+            num_graphs,
+            weights=level.node_mask.reshape(-1),
+        )
     m = level.node_mask[..., None]
     return jnp.sum(x * m, axis=1) / jnp.maximum(
         jnp.sum(m, axis=1), 1.0
@@ -130,6 +138,13 @@ def masked_mean_nodes(level, x: Array, num_graphs: int) -> Array:
 def masked_mean_edges(level, x: Array, num_graphs: int) -> Array:
     if isinstance(level, ComplexLevel):
         return segment_mean(x, level.s_id, num_graphs, weights=level.edge_mask)
+    if level.s_gid is not None:
+        return segment_mean(
+            x.reshape(-1, x.shape[-1]),
+            level.s_gid.reshape(-1),
+            num_graphs,
+            weights=level.edge_mask.reshape(-1),
+        )
     m = level.edge_mask[..., None]
     return jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
 

@@ -1,28 +1,36 @@
 """Fused dense-block Laguerre filter — the flagship Pallas kernel.
 
 The XLA path materializes all K polynomial terms ([G, S, K·C]) in HBM before
-the output projection; for K=6 that is 6× the activation memory and the
-limiting factor for batch size (a 16k-graph ZINC batch OOMs).  This kernel
-computes the whole recurrence
+the output projection; for K=6 that is 6× the activation memory and a
+limiting factor for batch size.  This kernel computes the whole recurrence
 
     T0 = x,  T1 = x − L x,
     T_{k+1} = (−L·T_k + (2k+1)·T_k − k·T_{k−1}) / (k+1),
     out     = Σ_k T_k @ W_k + b
 
-per graph-block entirely in VMEM: one [S, S] Laplacian tile + two [S, C]
-recurrence registers + one [S, F] accumulator.  HBM traffic drops from
-(K+2)·S·C + S·F to S·C + S·F per graph.
+(reference recurrence: lib/Hodge_Cheb_Conv.py:494,507) per graph-block
+entirely in VMEM: one [S, S] Laplacian tile + two [S, Ct] recurrence
+registers + one f32 [S, F] accumulator.  HBM traffic drops from
+(K+2)·S·C + S·F to S·C + S·F per block.
 
-The backward pass is hand-derived (L is symmetric):
-    dW_k = Σ_g T_kᵀ @ g          (T_k recomputed forward, FLOPs ≪ bandwidth)
-    dx   = adjoint recurrence:  b_k = g @ W_kᵀ;  walking k = K−1 → 0 with
-           c_k  += (−L·b_{k+1} + (2k+1)·b_{k+1}) / (k+1)   into slot k
-           c_{k−1} += −k/(k+1) · b_{k+1}
-           dx = c_0 + (I − L)·c_1-accumulated — one L matvec per step, same
-           cost as forward.
-dW accumulation across graph-blocks exploits the TPU grid's sequential
-execution: all programs map to the same [K·C, F] output block and add into
-it (zeroed at program 0).
+The recurrence is **channel-independent** (L mixes rows, never channels), so
+wide inputs are tiled along C: grid (G, n_ct) forward / (n_ct, G) backward,
+with the weight block [K, Ct, F] resident per c-tile.  This is what makes the
+kernel viable at the flagship's dense-concat stack widths (C grows past 1300;
+an untiled [K·C, F] weight block would blow VMEM).
+
+All matmuls are per-term ([S, Ct] @ [Ct, F] etc.) rather than one concatenated
+[S, K·Ct] matmul: indexing the major axis of the 3-D weight block is free,
+while concatenating/slicing K term tiles along the minor (lane) axis forces
+Mosaic relayout copies whenever Ct is not a lane multiple.
+
+The backward pass is hand-derived (L is symmetric; dL is never consumed):
+    dW_k = Σ_g T_kᵀ @ g          (T_k recomputed forward — one pass, exact)
+    dx   = adjoint recurrence over b_k = g @ W_kᵀ, one L matvec per step.
+Accumulation across the grid exploits the TPU grid's sequential execution:
+the dW block for c-tile j stays VMEM-resident for the whole inner sweep over
+graphs (zeroed at i == 0), and the forward's f32 accumulator persists across
+the c-tile sweep for one graph (output written at the last c-tile).
 """
 
 from __future__ import annotations
@@ -36,71 +44,117 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
+# widest c-tile: [K, Ct, F] weight block + K [S, Ct] term registers stay
+# comfortably under VMEM at K=6, S=128, F=256
+_CT_MAX = 512
+
 
 def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
+
+
+def _split_c(c: int) -> tuple[int, int]:
+    """(c_tile, c_padded): tile C only when it exceeds the VMEM budget."""
+    if c <= _CT_MAX:
+        return c, c
+    return _CT_MAX, -(-c // _CT_MAX) * _CT_MAX
 
 
 def _terms(l, x, k):
     """Recurrence terms as a python-unrolled list (k is static)."""
     terms = [x]
     if k > 1:
-        terms.append(x - jnp.dot(l, x, preferred_element_type=jnp.float32).astype(x.dtype))
+        terms.append(
+            x - jnp.dot(l, x, preferred_element_type=jnp.float32).astype(x.dtype)
+        )
     j = 1
     for _ in range(2, k):
-        lt = jnp.dot(l, terms[-1], preferred_element_type=jnp.float32).astype(x.dtype)
+        lt = jnp.dot(l, terms[-1], preferred_element_type=jnp.float32).astype(
+            x.dtype
+        )
         terms.append(((-lt + (2 * j + 1) * terms[-1] - j * terms[-2]) / (j + 1)))
         j += 1
     return terms
 
 
-def _fwd_kernel(l_ref, x_ref, w_ref, b_ref, out_ref, *, k):
-    l = l_ref[0]
+def _fwd_kernel(l_ref, x_ref, w_ref, b_ref, out_ref, acc_ref, *, k, n_ct):
+    j = pl.program_id(1)
     x = x_ref[0]
+    l = l_ref[0].astype(x.dtype)
     terms = _terms(l, x, k)
-    stacked = jnp.concatenate(terms, axis=-1)  # [S, K*C]
-    out = jnp.dot(stacked, w_ref[:], preferred_element_type=jnp.float32)
-    out_ref[0] = (out + b_ref[:]).astype(out_ref.dtype)
+    partial = jnp.dot(
+        terms[0], w_ref[0].astype(x.dtype), preferred_element_type=jnp.float32
+    )
+    for kk in range(1, k):
+        partial += jnp.dot(
+            terms[kk], w_ref[kk].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = partial
+
+    @pl.when(j > 0)
+    def _acc():
+        acc_ref[:] += partial
+
+    @pl.when(j == n_ct - 1)
+    def _emit():
+        out_ref[0] = (acc_ref[:] + b_ref[:].astype(jnp.float32)).astype(
+            out_ref.dtype
+        )
 
 
-def _bwd_kernel(l_ref, x_ref, w_ref, g_ref, dx_ref, dw_ref, db_ref, *, k, c):
-    l = l_ref[0]
+def _bwd_kernel(l_ref, x_ref, w_ref, g_ref, dx_ref, dw_ref, db_ref, *, k):
+    j = pl.program_id(0)  # c-tile (major: dw block resident per tile)
+    i = pl.program_id(1)  # graph block
     x = x_ref[0]
     g = g_ref[0]
+    l = l_ref[0].astype(x.dtype)
 
-    # --- dW, db: recompute terms, accumulate across sequential grid ---
+    # --- dW, db: recompute terms (one forward pass), accumulate over graphs
     terms = _terms(l, x, k)
-    stacked = jnp.concatenate(terms, axis=-1)  # [S, K*C]
-    dw_part = jnp.dot(
-        stacked.T, g.astype(stacked.dtype), preferred_element_type=jnp.float32
-    )
-    db_part = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
 
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
+    @pl.when(i == 0)
+    def _init_dw():
         dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    for kk in range(k):
+        dw_ref[kk] += jnp.dot(
+            terms[kk].T, g.astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(dw_ref.dtype)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init_db():
         db_ref[:] = jnp.zeros_like(db_ref)
 
-    dw_ref[:] += dw_part.astype(dw_ref.dtype)
-    db_ref[:] += db_part.astype(db_ref.dtype)
+    @pl.when(j == 0)
+    def _acc_db():
+        db_ref[:] += jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
 
-    # --- dx: adjoint of the recurrence ---
-    w = w_ref[:].astype(g.dtype)  # [K*C, F]
+    # --- dx: adjoint of the recurrence (channel-independent per c-tile) ---
     b_list = [
-        jnp.dot(g, w[i * c : (i + 1) * c].T, preferred_element_type=jnp.float32)
-        for i in range(k)
-    ]  # bar-T_k, each [S, C]
+        jnp.dot(
+            g, w_ref[kk].astype(g.dtype).T, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        for kk in range(k)
+    ]  # bar-T_k, each [S, Ct]
     # walk k = K-1 .. 2, folding contributions downward
     for kk in range(k - 1, 1, -1):
-        j = kk - 1  # recurrence index: T_{j+1} = (−L T_j + (2j+1) T_j − j T_{j−1})/(j+1)
+        jj = kk - 1  # T_{j+1} = (−L T_j + (2j+1) T_j − j T_{j−1})/(j+1)
         bt = b_list[kk]
-        lbt = jnp.dot(l, bt, preferred_element_type=jnp.float32)
-        b_list[kk - 1] = b_list[kk - 1] + (-lbt + (2 * j + 1) * bt) / (j + 1)
-        b_list[kk - 2] = b_list[kk - 2] - (j / (j + 1)) * bt
+        lbt = jnp.dot(l, bt, preferred_element_type=jnp.float32).astype(x.dtype)
+        b_list[kk - 1] = b_list[kk - 1] + (-lbt + (2 * jj + 1) * bt) / (jj + 1)
+        b_list[kk - 2] = b_list[kk - 2] - (jj / (jj + 1)) * bt
     dx = b_list[0]
     if k > 1:
         b1 = b_list[1]
-        dx = dx + b1 - jnp.dot(l, b1, preferred_element_type=jnp.float32)
+        dx = (
+            dx
+            + b1
+            - jnp.dot(l, b1, preferred_element_type=jnp.float32).astype(x.dtype)
+        )
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
@@ -113,30 +167,40 @@ def laguerre_dense_fused(l: Array, x: Array, w: Array, b: Array) -> Array:
     return _fused_fwd_impl(l, x, w, b)
 
 
+def _pad_c(x, w, ct, cp):
+    c = x.shape[-1]
+    if cp == c:
+        return x, w
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, cp - c)))
+    w = jnp.pad(w, ((0, 0), (0, cp - c), (0, 0)))
+    return x, w
+
+
 def _fused_fwd_impl(l, x, w, b):
     g_, s, c = x.shape
     k, _, f = w.shape
-    w2 = w.reshape(k * c, f)
+    ct, cp = _split_c(c)
+    x_p, w_p = _pad_c(x, w, ct, cp)
+    n_ct = cp // ct
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, k=k),
+        functools.partial(_fwd_kernel, k=k, n_ct=n_ct),
         out_shape=jax.ShapeDtypeStruct((g_, s, f), x.dtype),
-        grid=(g_,),
+        grid=(g_, n_ct),
         in_specs=[
-            pl.BlockSpec((1, s, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k * c, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((f,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, s), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, s, ct), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((k, ct, f), lambda i, j: (0, j, 0)),
+            pl.BlockSpec((f,), lambda i, j: (0,)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, s, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec((1, s, f), lambda i, j: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((s, f), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * g_ * s * (s * c * (k - 1) + k * c * f),
-            bytes_accessed=g_ * (s * s + s * c + s * f) * 4 + k * c * f * 4,
+            flops=2 * g_ * s * (s * cp * (k - 1) + k * cp * f),
+            bytes_accessed=g_ * (s * s + s * cp + s * f) * 4 + k * cp * f * 4,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(l, x, w2, b)
+    )(l, x_p, w_p, b)
 
 
 def _fused_fwd(l, x, w, b):
@@ -147,33 +211,41 @@ def _fused_bwd(res, g):
     l, x, w = res
     g_, s, c = x.shape
     k, _, f = w.shape
-    w2 = w.reshape(k * c, f)
+    ct, cp = _split_c(c)
+    x_p, w_p = _pad_c(x, w, ct, cp)
+    n_ct = cp // ct
     dx, dw, db = pl.pallas_call(
-        functools.partial(_bwd_kernel, k=k, c=c),
+        functools.partial(_bwd_kernel, k=k),
         out_shape=(
-            jax.ShapeDtypeStruct((g_, s, c), x.dtype),
-            jax.ShapeDtypeStruct((k * c, f), jnp.float32),
+            jax.ShapeDtypeStruct((g_, s, cp), x.dtype),
+            jax.ShapeDtypeStruct((k, cp, f), jnp.float32),
             jax.ShapeDtypeStruct((1, f), jnp.float32),
         ),
-        grid=(g_,),
+        grid=(n_ct, g_),
         in_specs=[
-            pl.BlockSpec((1, s, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k * c, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, s), lambda j, i: (i, 0, 0)),
+            pl.BlockSpec((1, s, ct), lambda j, i: (i, 0, j)),
+            pl.BlockSpec((k, ct, f), lambda j, i: (0, j, 0)),
+            pl.BlockSpec((1, s, f), lambda j, i: (i, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k * c, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, ct), lambda j, i: (i, 0, j)),
+            pl.BlockSpec((k, ct, f), lambda j, i: (0, j, 0)),
+            pl.BlockSpec((1, f), lambda j, i: (0, 0)),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * g_ * s * (s * cp * (k - 1) + k * cp * f),
+            bytes_accessed=g_ * (s * s + 2 * s * cp + 2 * s * f) * 4
+            + 2 * k * cp * f * 4,
+            transcendentals=0,
         ),
         interpret=_interpret(),
-    )(l, x, w2, g)
+    )(l, x_p, w_p, g)
     # dL is never consumed (the Laplacian is data); zeros feed DCE
     return (
         jnp.zeros_like(l),
-        dx,
-        dw.reshape(k, c, f).astype(w.dtype),
+        dx[:, :, :c],
+        dw[:, :c].astype(w.dtype),
         db[0].astype(w.dtype),
     )
 

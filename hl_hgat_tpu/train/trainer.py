@@ -76,8 +76,11 @@ def _loss_for(task: str):
     if task == "multilabel":
         return lambda out, batch: L.focal_loss(out, batch.y)
     if task == "edge_binary":
+        # flatten mask too: dense layouts carry [G, E] masks
         return lambda out, batch: L.focal_loss(
-            out.reshape(-1), batch.y.reshape(-1), batch.level0.edge_mask
+            out.reshape(-1),
+            batch.y.reshape(-1),
+            batch.level0.edge_mask.reshape(-1),
         )
     raise ValueError(f"unknown task {task!r}")
 
@@ -230,13 +233,21 @@ class Trainer:
             n += g
             if cfg.task == "edge_binary":
                 lvl = batch.level0
+                if hasattr(lvl, "s_id"):  # COO layout
+                    seg, o, yy, m = lvl.s_id, out, batch.y, lvl.edge_mask
+                else:  # dense layouts: flatten [G, E] rows
+                    if lvl.s_gid is not None:  # packed superblocks
+                        seg = lvl.s_gid.reshape(-1)
+                    else:  # one graph per block
+                        seg = jnp.broadcast_to(
+                            jnp.arange(lvl.edge_mask.shape[0])[:, None],
+                            lvl.edge_mask.shape,
+                        ).reshape(-1)
+                    o = out.reshape(-1)
+                    yy = batch.y.reshape(-1)
+                    m = lvl.edge_mask.reshape(-1)
                 f1s.append(
-                    float(
-                        M.per_graph_binary_f1(
-                            out, batch.y, lvl.s_id, g, lvl.edge_mask
-                        )
-                    )
-                    * g
+                    float(M.per_graph_binary_f1(o, yy, seg, g, m)) * g
                 )
             elif cfg.task == "classification":
                 accs.append(float(M.accuracy(out, batch.y.reshape(-1))) * g)

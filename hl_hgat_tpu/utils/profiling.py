@@ -48,6 +48,22 @@ class StepTimer:
         )
 
 
+def device_barrier(tree) -> None:
+    """Reliable synchronization: host-readback of the smallest leaf.
+
+    On the tunneled TPU backend ``jax.block_until_ready`` returns before
+    execution finishes (measured: a 10-step scan "blocks" in 0.1 ms while
+    the next host readback waits 437 ms — benchmarks/sync_probe.py), so
+    wall-clock timing MUST gate on a device→host transfer.  Every benchmark
+    in this repo uses this (or an inline ``np.asarray``) as its barrier.
+    """
+    import numpy as np
+
+    leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "size")]
+    if leaves:
+        np.asarray(min(leaves, key=lambda x: x.size))
+
+
 @contextlib.contextmanager
 def trace_context(logdir: str):
     """jax.profiler trace around a region (open in TensorBoard/XProf)."""

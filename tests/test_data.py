@@ -174,6 +174,33 @@ class TestCacheAndLoader:
         shapes2 = {(b.x_t.shape, b.x_s.shape) for b in loader}
         assert shapes2 == shapes
 
+    def test_bucketed_loader_dense_packed(self, rng):
+        samples = [
+            random_simplex_sample(rng, n_nodes=int(rng.integers(8, 24)))
+            for _ in range(41)
+        ]
+        loader = BucketedLoader(
+            samples, batch_size=16, layout="dense_packed",
+            node_cap=48, edge_cap=56, seed=1,
+        )
+        shapes = set()
+        seen = set()
+        for batch in loader:
+            assert batch.num_graphs == 16
+            lvl = batch.levels[0]
+            assert lvl.n_gid is not None
+            assert batch.x_t.shape[1] == 48 and batch.x_s.shape[1] == 56
+            assert batch.x_t.shape[0] % 16 == 0  # block multiple
+            shapes.add((batch.x_t.shape, batch.x_s.shape))
+            # every real row carries a valid graph id
+            gids = lvl.n_gid[np.asarray(lvl.node_mask) > 0]
+            assert (gids < 16).all()
+            seen.update(np.asarray(lvl.node_mask).sum(axis=1).tolist())
+        assert len(shapes) <= 2
+        # second epoch keeps the shape signatures (jit stability)
+        shapes2 = {(b.x_t.shape, b.x_s.shape) for b in loader}
+        assert shapes2 <= shapes
+
     def test_lrgb_registry(self):
         info = lrgb_info("Peptides-func")
         assert info["num_graphs"] == 15535

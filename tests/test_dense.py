@@ -7,7 +7,7 @@ import pytest
 
 from hl_hgat_tpu.complex.build import collate
 from hl_hgat_tpu.complex.coarsen import build_pyramid
-from hl_hgat_tpu.complex.dense import collate_dense
+from hl_hgat_tpu.complex.dense import collate_dense, collate_dense_packed
 from hl_hgat_tpu.data.synthetic import random_simplex_sample
 from hl_hgat_tpu.models import BackboneConfig, HLHGCNNGraph, HLHGCNNTsp
 from hl_hgat_tpu.nn import LaguerreConv, NodeEdgeInt
@@ -125,6 +125,76 @@ class TestDenseEquivalence:
             e = s.num_edges
             np.testing.assert_allclose(
                 np.asarray(out_dense)[g, :e], np.asarray(out_coo)[o : o + e],
+                rtol=1e-3, atol=1e-4,
+            )
+            o += e
+
+    def test_packed_full_model_equal(self, rng):
+        # superblock packing: several graphs per dense tile, block-diagonal
+        # operators, gid-segment readout — must match COO exactly
+        samples = make_samples(rng, n_graphs=7)
+        coo = dev(collate(samples))
+        packed = dev(
+            collate_dense_packed(samples, node_cap=48, edge_cap=56)
+        )
+        assert packed.x_t.shape[0] < len(samples)  # actually packed
+        model = HLHGCNNGraph(
+            cfg=BackboneConfig(channels=(1, 1), filters=(8, 16), k=3,
+                               init_k=3),
+            num_classes=2,
+        )
+        p = model.init({"params": jax.random.key(0)}, coo, deterministic=True)
+        out_coo = model.apply(p, coo, deterministic=True)
+        out_packed = model.apply(p, packed, deterministic=True)
+        np.testing.assert_allclose(out_packed, out_coo, rtol=1e-3, atol=1e-4)
+
+    def test_packed_attpool_model_equal(self, rng):
+        samples = make_samples(rng, n_graphs=6, num_pool=1)
+        coo = dev(collate(samples))
+        packed = dev(
+            collate_dense_packed(samples, node_cap=48, edge_cap=56)
+        )
+        model = HLHGCNNGraph(
+            cfg=BackboneConfig(
+                channels=(1, 1), filters=(8, 16), k=2, init_k=2,
+                pool_locs=(0,), att_sigma="sigmoid", gate_input="stack",
+                gate_target="stack",
+            ),
+            num_classes=1,
+        )
+        p = model.init({"params": jax.random.key(0)}, coo, deterministic=True)
+        out_coo = model.apply(p, coo, deterministic=True)
+        out_packed = model.apply(p, packed, deterministic=True)
+        np.testing.assert_allclose(out_packed, out_coo, rtol=1e-3, atol=1e-4)
+
+    def test_packed_tsp_model_equal(self, rng):
+        samples = make_samples(rng, n_graphs=6, edge_feat=2, tsp=True)
+        coo = dev(collate(samples, y_per_edge=True))
+        packed = dev(
+            collate_dense_packed(
+                samples, node_cap=48, edge_cap=56, y_per_edge=True
+            )
+        )
+        model = HLHGCNNTsp(
+            cfg=BackboneConfig(channels=(1,), filters=(8,), k=2, init_k=2),
+            mlp_channels=(8,),
+        )
+        p = model.init({"params": jax.random.key(0)}, coo, deterministic=True)
+        out_coo = model.apply(p, coo, deterministic=True)
+        out_packed = model.apply(p, packed, deterministic=True)
+        # align by gid/offset: packed y rows were placed at the same offsets
+        s_gid = np.asarray(packed.levels[0].s_gid)
+        em = np.asarray(packed.levels[0].edge_mask)
+        flat_out = np.asarray(out_packed).reshape(-1)
+        flat_gid = s_gid.reshape(-1)
+        flat_m = em.reshape(-1) > 0
+        coo_flat = np.asarray(out_coo).reshape(-1)
+        o = 0
+        for g, s in enumerate(samples):
+            e = s.num_edges
+            got = flat_out[(flat_gid == g) & flat_m]
+            np.testing.assert_allclose(
+                np.sort(got), np.sort(coo_flat[o : o + e]),
                 rtol=1e-3, atol=1e-4,
             )
             o += e

@@ -43,6 +43,27 @@ class TestFusedLaguerre:
                 a, e, rtol=2e-3, atol=1e-3, err_msg=name
             )
 
+    def test_channel_tiled_matches_xla(self, rng):
+        """C > _CT_MAX exercises the c-tile grid (the recurrence is
+        channel-independent, so tiling is exact) including zero-padding of
+        the ragged last tile."""
+        l, x, w, b = setup(rng, g=2, s=8, c=600, f=8, k=3)
+
+        out = laguerre_dense_fused(l, x, w, b)
+        expect = laguerre_matvec(x, l, w, b)
+        np.testing.assert_allclose(out, expect, rtol=1e-3, atol=1e-3)
+
+        def f_fused(x, w, b):
+            return jnp.sum(laguerre_dense_fused(l, x, w, b) ** 2)
+
+        def f_xla(x, w, b):
+            return jnp.sum(laguerre_matvec(x, l, w, b) ** 2)
+
+        gf = jax.grad(f_fused, argnums=(0, 1, 2))(x, w, b)
+        gx = jax.grad(f_xla, argnums=(0, 1, 2))(x, w, b)
+        for a, e, name in zip(gf, gx, ("dx", "dw", "db")):
+            np.testing.assert_allclose(a, e, rtol=2e-3, atol=2e-3, err_msg=name)
+
     def test_jit_and_scan(self, rng):
         """The kernel must compose with jit + scan (the bench pattern)."""
         l, x, w, b = setup(rng, k=3)

@@ -211,3 +211,46 @@ class TestEndToEnd:
         for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
             np.testing.assert_allclose(as_np(a), as_np(b), rtol=1e-6)
         assert load_metadata(str(tmp_path / "ck"))["epoch"] == 1
+
+
+class TestEdgeBinaryDenseEval:
+    def test_evaluate_tsp_dense_and_packed(self, rng):
+        """edge_binary loss + per-graph F1 must work in all three layouts."""
+        from hl_hgat_tpu.complex.build import collate
+        from hl_hgat_tpu.complex.dense import collate_dense, collate_dense_packed
+        from hl_hgat_tpu.data.synthetic import random_simplex_sample
+        from hl_hgat_tpu.models import BackboneConfig, HLHGCNNTsp
+
+        samples = []
+        for _ in range(5):
+            s = random_simplex_sample(
+                rng, n_nodes=int(rng.integers(8, 16)), node_feat=3,
+                edge_feat=2, keig=0,
+            )
+            s.x_s[:, -1] = 1.0
+            s.y = (rng.random(s.num_edges) > 0.5).astype(np.float32)
+            samples.append(s)
+        model = HLHGCNNTsp(
+            cfg=BackboneConfig(channels=(1,), filters=(8,), k=2, init_k=2),
+            mlp_channels=(8,),
+        )
+        tr = Trainer(model, TrainerConfig(task="edge_binary", metric_mode="max"))
+        batches = {
+            "coo": collate(samples, y_per_edge=True),
+            "dense": collate_dense(samples, y_per_edge=True),
+            "packed": collate_dense_packed(
+                samples, node_cap=32, edge_cap=40, y_per_edge=True
+            ),
+        }
+        batches = {k: jax.tree.map(jnp.asarray, v) for k, v in batches.items()}
+        state = tr.init_state(batches["coo"])
+        results = {}
+        for name, b in batches.items():
+            st = tr.init_state(b)
+            st, loss = tr._train_step(st, b)
+            assert np.isfinite(float(loss))
+            _, metric = tr.evaluate(state, [b])
+            results[name] = metric
+        # same params + same graphs => same per-graph F1 in every layout
+        assert results["coo"] == pytest.approx(results["dense"], abs=1e-5)
+        assert results["coo"] == pytest.approx(results["packed"], abs=1e-5)
