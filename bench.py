@@ -70,21 +70,34 @@ def main() -> None:
         remat=os.environ.get("BENCH_REMAT", "1") == "1",
     )
     if mode in ("dense", "packed"):
-        rng = np.random.default_rng(0)
-        samples = []
-        for _ in range(BATCH_GRAPHS):
-            n = int(rng.integers(15, 33))
-            s = random_simplex_sample(
-                rng, n_nodes=n, extra_edges=int(rng.integers(2, 6)),
-                node_feat=1, edge_feat=1, keig=16,
-            )
-            s.x_t[:, 0] = rng.integers(0, 28, s.x_t.shape[0])
-            s.x_s[:, 0] = rng.integers(0, 4, s.x_s.shape[0])
-            samples.append(s)
-        if mode == "packed":
-            batch = collate_dense_packed(samples, node_cap=128, edge_cap=128)
+        # the throttled host takes minutes to collate 12k+ graphs; cache the
+        # deterministic (seed 0) batch on disk across runs
+        import pickle
+
+        cache = f"/tmp/hlhgat_bench_{mode}_{BATCH_GRAPHS}.pkl"
+        if os.path.exists(cache):
+            with open(cache, "rb") as fh:
+                batch = pickle.load(fh)
         else:
-            batch = collate_dense(samples, multiple=8)
+            rng = np.random.default_rng(0)
+            samples = []
+            for _ in range(BATCH_GRAPHS):
+                n = int(rng.integers(15, 33))
+                s = random_simplex_sample(
+                    rng, n_nodes=n, extra_edges=int(rng.integers(2, 6)),
+                    node_feat=1, edge_feat=1, keig=16,
+                )
+                s.x_t[:, 0] = rng.integers(0, 28, s.x_t.shape[0])
+                s.x_s[:, 0] = rng.integers(0, 4, s.x_s.shape[0])
+                samples.append(s)
+            if mode == "packed":
+                batch = collate_dense_packed(
+                    samples, node_cap=128, edge_cap=128
+                )
+            else:
+                batch = collate_dense(samples, multiple=8)
+            with open(cache, "wb") as fh:
+                pickle.dump(batch, fh)
         real_edges = int(np.asarray(batch.levels[0].edge_mask).sum())
     else:
         batch = synthetic_zinc_batch(

@@ -102,6 +102,12 @@ class DenseInt3Backbone(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype)
         x_t = x_t.astype(dtype)
         x_s = x_s.astype(dtype)
+        # operators follow the compute dtype: mixed f32-operator × bf16-x
+        # matmuls would otherwise upcast and run at the f32 MXU rate
+        # (ops/dispatch.py cast_operators)
+        from hl_hgat_tpu.ops.dispatch import cast_operators
+
+        batch = cast_operators(batch, dtype)
         level = batch.levels[0]
         deg = level.deg + cfg.deg_eps
         snapshots: list[tuple[Array, Array]] = []

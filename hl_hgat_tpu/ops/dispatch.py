@@ -167,6 +167,57 @@ def pool_to_coarse(pool, fine, coarse, x_t: Array, x_s: Array):
     return x_t_c, x_s_c
 
 
+def cast_operators(batch, dtype):
+    """Cast the operator tensors (L0/L1/B1, pool matrices, COO values) to the
+    compute dtype.
+
+    With bf16 activations but f32 operators, XLA upcasts the bf16 operand and
+    every Laplacian mat-vec runs at the f32 MXU rate; casting the operators
+    keeps the matvecs on the native bf16×bf16(+f32 accumulate) path — 2× MXU
+    rate and half the HBM traffic on the L tiles, which are the largest
+    arrays in a dense-layout batch.  Masks, degrees and segment ids stay f32/
+    int32 (they feed divisions and segment ops, not matmuls).
+    """
+    import dataclasses
+
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.float32:
+        return batch
+
+    def cast_level(lvl):
+        if isinstance(lvl, ComplexLevel):
+            def cast_coo(m):
+                if not isinstance(m, CooMatrix):
+                    return m  # HaloShard etc. manage their own dtypes
+                return dataclasses.replace(
+                    m,
+                    vals=m.vals.astype(dtype),
+                    ell_vals=None if m.ell_vals is None
+                    else m.ell_vals.astype(dtype),
+                )
+
+            return dataclasses.replace(lvl, l0=cast_coo(lvl.l0),
+                                       l1=cast_coo(lvl.l1))
+        if isinstance(lvl, DenseLevel):
+            return dataclasses.replace(
+                lvl, l0=lvl.l0.astype(dtype), l1=lvl.l1.astype(dtype),
+                b1=lvl.b1.astype(dtype),
+            )
+        return lvl
+
+    def cast_pool(p):
+        if isinstance(p, DensePool):
+            return dataclasses.replace(
+                p, p_t=p.p_t.astype(dtype), p_s=p.p_s.astype(dtype)
+            )
+        return p
+
+    return batch.replace(
+        levels=tuple(cast_level(l) for l in batch.levels),
+        pools=tuple(cast_pool(p) for p in batch.pools),
+    )
+
+
 def apply_node_mask(level, x: Array) -> Array:
     return x * level.node_mask[..., None].astype(x.dtype)
 

@@ -199,6 +199,31 @@ class TestDenseEquivalence:
             )
             o += e
 
+    def test_bf16_cast_operators_close_to_f32(self, rng):
+        """compute_dtype=bfloat16 casts L0/L1/B1 to bf16 inside the backbone
+        (ops/dispatch.cast_operators); outputs must stay close to f32 in
+        every layout."""
+        from hl_hgat_tpu.models import BackboneConfig, HLHGCNNGraph
+
+        samples = make_samples(rng, n_graphs=5)
+        cfg = dict(channels=(1, 1), filters=(8, 16), k=3, init_k=3)
+        m32 = HLHGCNNGraph(cfg=BackboneConfig(**cfg), num_classes=2)
+        m16 = HLHGCNNGraph(
+            cfg=BackboneConfig(**cfg, compute_dtype="bfloat16"), num_classes=2
+        )
+        for batch in (
+            dev(collate(samples)),
+            dev(collate_dense(samples)),
+            dev(collate_dense_packed(samples, node_cap=48, edge_cap=56)),
+        ):
+            p = m32.init({"params": jax.random.key(0)}, batch,
+                         deterministic=True)
+            out32 = m32.apply(p, batch, deterministic=True)
+            out16 = m16.apply(p, batch, deterministic=True)
+            np.testing.assert_allclose(
+                np.asarray(out16), np.asarray(out32), rtol=0.1, atol=0.1
+            )
+
     def test_dense_grads_finite(self, rng):
         samples = make_samples(rng)
         dense = dev(collate_dense(samples))
