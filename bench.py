@@ -38,9 +38,10 @@ BASELINE_EDGES_PER_SEC = 1.0e6
 
 STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS", "10"))
 TIMED_CALLS = 3
-# Measured single-chip sweet spot: batch 12288, bf16 activations, per-layer
-# remat → 935.7M edges/s (14336 OOMs at 17.5G; full sweep in
-# benchmarks/RESULTS.md).  Override any of the three via env.
+# Honest single-chip numbers (host-readback barrier): packed superblocks,
+# batch 12288, bf16 + per-layer remat → 1.92 steps/s = 602k real edges/s;
+# full sweep + methodology note in benchmarks/RESULTS.md.  Override batch /
+# dtype / remat / K / filters via env.
 BATCH_GRAPHS = int(os.environ.get("BENCH_BATCH_GRAPHS", "12288"))
 
 
@@ -63,11 +64,29 @@ def main() -> None:
     # gather/segment-sum path.
     mode = sys.argv[1] if len(sys.argv) > 1 else "packed"
 
+    # Fused Pallas Laguerre kernel + MSI-only remat is the measured best
+    # recipe (2.23 steps/s vs 2.04 XLA-path full-remat at batch 12288;
+    # benchmarks/RESULTS.md) — the kernel's custom VJP keeps the term
+    # pyramid out of HBM, so the convs don't need remat.
+    if mode in ("dense", "packed") and os.environ.get(
+        "HLHGAT_FUSED_DENSE", "1"
+    ) == "1":
+        from hl_hgat_tpu.nn.conv import use_fused_dense
+
+        use_fused_dense(True)
+
+    # ablation knobs (cost decomposition; flagship defaults)
+    filters = tuple(
+        int(x) for x in os.environ.get("BENCH_FILTERS", "64,128,256").split(",")
+    )
     model, meta = presets.zinc_pyr(
-        channels=(2, 3, 3), filters=(64, 128, 256), k=6, keig=15,
+        channels=(2, 3, 3), filters=filters,
+        k=int(os.environ.get("BENCH_K", "6")), keig=15,
         mlp_channels=(256, 256),
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
-        remat=os.environ.get("BENCH_REMAT", "1") == "1",
+        remat={"0": False, "1": True, "msi": "msi"}[
+            os.environ.get("BENCH_REMAT", "msi")
+        ],
     )
     if mode in ("dense", "packed"):
         # the throttled host takes minutes to collate 12k+ graphs; cache the

@@ -13,6 +13,7 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
@@ -72,9 +73,12 @@ def main():
             def run(x, w):
                 def body(acc, _):
                     dx, dw = gr(x, w)
-                    return acc + jnp.sum(dx) + jnp.sum(dw), None
+                    return (
+                        acc + jnp.sum(dx).astype(jnp.float32) + jnp.sum(dw),
+                        None,
+                    )
 
-                return jax.lax.scan(body, jnp.zeros((), x.dtype), None,
+                return jax.lax.scan(body, jnp.zeros(()), None,
                                     length=STEPS)[0]
 
             return jax.jit(run)

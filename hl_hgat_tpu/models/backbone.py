@@ -71,14 +71,19 @@ class BackboneConfig:
     # params stay fp32, matmuls accumulate fp32 (preferred_element_type), BN
     # statistics are computed in fp32 regardless.
     compute_dtype: str = "float32"
-    # rematerialize each MSI/conv layer in the backward pass (per-layer
-    # nn.remat): residuals shrink from every layer's Laguerre term pyramid
-    # to the layer inputs, and each layer's backward replays only that
-    # layer.  Unlocks batches past the HBM wall at ~1 extra forward of
-    # recompute (benchmarks/RESULTS.md; coarser granularity measured worse —
-    # see make_backbone).  Parameter trees are unchanged (lifted transform
-    # keeps scope names).
-    remat: bool = False
+    # rematerialize layers in the backward pass (per-layer nn.remat):
+    #   True  — remat both MSI and conv pairs: residuals shrink from every
+    #           layer's Laguerre term pyramid to the layer inputs; unlocks
+    #           batches past the HBM wall at ~1 extra forward of recompute
+    #           (benchmarks/RESULTS.md; coarser granularity measured worse —
+    #           see make_backbone)
+    #   "msi" — remat only the MSI interactions; pair with the fused Laguerre
+    #           kernel (HLHGAT_FUSED_DENSE=1), whose custom VJP already keeps
+    #           the term pyramid out of HBM — full remat would recompute the
+    #           recurrence a third time (fwd + replay + kernel bwd)
+    #   False — no remat.
+    # Parameter trees are unchanged (lifted transform keeps scope names).
+    remat: bool | str = False
 
 
 class DenseInt3Backbone(nn.Module):
@@ -129,7 +134,11 @@ class DenseInt3Backbone(nn.Module):
             # static_argnums count self: (x_t, x_s, level, deg, det) → 5 /
             # (x_t, x_s, level, det) → 4
             NEIntCls = nn.remat(NodeEdgeInt, static_argnums=(5,))
-            NEPairCls = nn.remat(NEConvPair, static_argnums=(4,))
+            NEPairCls = (
+                nn.remat(NEConvPair, static_argnums=(4,))
+                if cfg.remat is True
+                else NEConvPair  # 'msi': conv residuals stay (fused kernel)
+            )
         else:
             NEIntCls, NEPairCls = NodeEdgeInt, NEConvPair
         for i, width in enumerate(cfg.filters):

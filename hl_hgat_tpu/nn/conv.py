@@ -117,16 +117,21 @@ def _apply_poly(x, lap, weights, bias, *, kind):
         )
         return laguerre_dense_fused(lap, x, weights, b)
     terms = polynomial_terms(x, lap, k, kind=kind)
-    # fuse the K small GEMMs into one MXU-friendly matmul
-    stacked = jnp.concatenate(terms, axis=-1)  # [N(, T), K*C]
-    w = weights.reshape(-1, weights.shape[-1])  # [K*C, F]
-    out = jnp.einsum(
-        "...c,cf->...f", stacked, w.astype(stacked.dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    # Per-term GEMMs with a shared f32 accumulator.  The row count is huge
+    # (every simplex in the batch), so K separate [N, C]@[C, F] matmuls run
+    # the MXU exactly as well as one [N, K·C] one — but skip materializing
+    # the concatenated term stack in HBM (a full extra copy per conv; the
+    # step is memory-bound, benchmarks/RESULTS.md).
+    out = None
+    for kk, t in enumerate(terms):
+        part = jnp.einsum(
+            "...c,cf->...f", t, weights[kk].astype(t.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        out = part if out is None else out + part
     if bias is not None:
         out = out + bias.astype(out.dtype)
-    return out
+    return out.astype(x.dtype)
 
 
 class LaguerreConv(nn.Module):

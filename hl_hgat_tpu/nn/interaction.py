@@ -26,11 +26,75 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from hl_hgat_tpu.complex.batch import ComplexLevel
-from hl_hgat_tpu.nn.linear import TorchLinear
+from hl_hgat_tpu.nn.linear import (
+    TorchLinear,
+    torch_bias_init,
+    torch_kaiming_uniform,
+)
 from hl_hgat_tpu.nn.norm import MaskedBatchNorm
 from hl_hgat_tpu.ops.dispatch import abs_b1_s2t, abs_b1_t2s
 
 Array = jnp.ndarray
+
+# ---------------------------------------------------------------------------
+# Project-then-couple: GEMMs commute with the boundary SpMM.
+#
+# The reference computes x_s2t = D⁻¹·|B1|·x_s at FULL feature width and only
+# then projects it (reference lib/Hodge_Cheb_Conv.py:294-308).  Since |B1|
+# mixes rows and W mixes channels, (D⁻¹|B1|x_s)·W ≡ D⁻¹|B1|(x_s·W) exactly
+# (up to fp reassociation) — so we apply the Linear FIRST and run the
+# boundary product at the output width (dv or dk) instead of the dense-concat
+# stack width (grows past 1300 channels).  On a memory-bound TPU step this
+# shrinks the coupling traffic and FLOPs by the width ratio (5–40×) with the
+# same math.  Parameter trees stay identical to the TorchLinear versions.
+# ---------------------------------------------------------------------------
+
+
+class CoupledLinear(nn.Module):
+    """TorchLinear whose matmul may be followed by a row-mixing ``couple``
+    before the bias is added: y = couple(x @ W) + b."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: Array, couple=None) -> Array:
+        fan_in = x.shape[-1]
+        w = self.param("kernel", torch_kaiming_uniform, (fan_in, self.features))
+        b = self.param("bias", torch_bias_init(fan_in), (self.features,))
+        y = jnp.einsum(
+            "...c,cf->...f", x, w.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        if couple is not None:
+            y = couple(y)
+        return y + b.astype(y.dtype)
+
+
+class _SplitFirstLinear(nn.Module):
+    """First MLP layer of a value head on a virtual concat [cross ‖ self]:
+    the cross half goes through ``couple`` AFTER its kernel slice.  Param
+    tree and init match ``TorchLinear(features)`` on the concat input."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x_cross_pre: Array, x_self: Array, couple) -> Array:
+        c_cross = x_cross_pre.shape[-1]
+        fan_in = c_cross + x_self.shape[-1]
+        w = self.param("kernel", torch_kaiming_uniform, (fan_in, self.features))
+        b = self.param("bias", torch_bias_init(fan_in), (self.features,))
+        wa = w[:c_cross].astype(x_cross_pre.dtype)
+        wb = w[c_cross:].astype(x_self.dtype)
+        za = couple(
+            jnp.einsum(
+                "...c,cf->...f", x_cross_pre, wa,
+                preferred_element_type=jnp.float32,
+            ).astype(x_cross_pre.dtype)
+        )
+        zb = jnp.einsum(
+            "...c,cf->...f", x_self, wb, preferred_element_type=jnp.float32
+        ).astype(x_self.dtype)
+        return za + zb + b.astype(zb.dtype)
 
 
 def _sigma(name: str):
@@ -62,14 +126,24 @@ def cross_simplex(
 
 
 class _ValueHead(nn.Module):
+    """2-layer MLP on the virtual concat [coupled ‖ self] (reference
+    lib/Hodge_Cheb_Conv.py:276-289).  The first Linear is split so the
+    boundary product runs at width ``dv`` (project-then-couple, see module
+    header); tree-compatible with the concat formulation."""
+
     dv: int
 
     @nn.compact
-    def __call__(self, x: Array, mask: Array, deterministic: bool) -> Array:
-        x = TorchLinear(self.dv)(x)
+    def __call__(
+        self, x_cross_pre: Array, x_self: Array, couple, mask: Array,
+        deterministic: bool,
+    ) -> Array:
+        x = _SplitFirstLinear(self.dv, name="TorchLinear_0")(
+            x_cross_pre, x_self, couple
+        )
         x = MaskedBatchNorm(self.dv)(x, mask, use_running_average=deterministic)
         x = nn.relu(x)
-        x = TorchLinear(self.dv)(x)
+        x = TorchLinear(self.dv, name="TorchLinear_1")(x)
         x = MaskedBatchNorm(self.dv)(x, mask, use_running_average=deterministic)
         return nn.relu(x)
 
@@ -94,19 +168,33 @@ class NodeEdgeInt(nn.Module):
     ) -> tuple[Array, Array]:
         # ``deterministic`` is positional-friendly so nn.remat can mark it
         # static (backbone remat path, static_argnums=(5,))
-        x_s2t, x_t2s = cross_simplex(x_t, x_s, level, deg)
+        safe_deg = jnp.where(deg > 0, deg, 1.0)
+
+        def couple_s2t(z: Array) -> Array:
+            # D⁻¹·|B1|·z — the x_s2t coupling at projected width
+            out = abs_b1_s2t(level, z)
+            return out / safe_deg[..., None].astype(out.dtype)
+
+        def couple_t2s(z: Array) -> Array:
+            return abs_b1_t2s(level, z) / 2.0
+
         if self.only_att:
             act = _sigma(self.sigma)
-            wq_n = TorchLinear(self.dk, name="WQ_Node")
-            wk_n = TorchLinear(self.dk, name="WK_Node")
-            wq_e = TorchLinear(self.dk, name="WQ_Edge")
-            wk_e = TorchLinear(self.dk, name="WK_Edge")
+            wq_n = CoupledLinear(self.dk, name="WQ_Node")
+            wk_n = CoupledLinear(self.dk, name="WK_Node")
+            wq_e = CoupledLinear(self.dk, name="WQ_Edge")
+            wk_e = CoupledLinear(self.dk, name="WK_Edge")
             scale = 1.0 / jnp.sqrt(jnp.asarray(self.dk, jnp.float32))
             lam = self.lam
+            # WQ_E(x_s2t) ≡ couple(x_s @ K_qe) + b_qe etc. — boundary
+            # products run at dk channels instead of the stack width
             a_t = act(
                 (
                     (1.0 - lam)
-                    * jnp.sum(wq_e(x_s2t) * wk_n(x_t), axis=-1, keepdims=True)
+                    * jnp.sum(
+                        wq_e(x_s, couple=couple_s2t) * wk_n(x_t),
+                        axis=-1, keepdims=True,
+                    )
                     + lam * jnp.sum(wq_n(x_t) * wk_n(x_t), axis=-1, keepdims=True)
                 )
                 * scale
@@ -114,17 +202,20 @@ class NodeEdgeInt(nn.Module):
             a_s = act(
                 (
                     (1.0 - lam)
-                    * jnp.sum(wq_n(x_t2s) * wk_e(x_s), axis=-1, keepdims=True)
+                    * jnp.sum(
+                        wq_n(x_t, couple=couple_t2s) * wk_e(x_s),
+                        axis=-1, keepdims=True,
+                    )
                     + lam * jnp.sum(wq_e(x_s) * wk_e(x_s), axis=-1, keepdims=True)
                 )
                 * scale
             )
             return a_t, a_s
         x_t1 = _ValueHead(self.dv, name="WV_Node")(
-            jnp.concatenate([x_s2t, x_t], axis=-1), level.node_mask, deterministic
+            x_s, x_t, couple_s2t, level.node_mask, deterministic
         )
         x_s1 = _ValueHead(self.dv, name="WV_Edge")(
-            jnp.concatenate([x_t2s, x_s], axis=-1), level.edge_mask, deterministic
+            x_t, x_s, couple_t2s, level.edge_mask, deterministic
         )
         return x_t1, x_s1
 

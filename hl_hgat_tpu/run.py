@@ -42,7 +42,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--n_synthetic", type=int, default=512)
     p.add_argument("--save_dir", default="./weights")
-    p.add_argument("--layout", default="dense", choices=["dense", "coo"])
+    p.add_argument("--layout", default="coo", choices=["coo", "packed"],
+                   help="batch layout: coo (general) or packed dense "
+                        "superblocks (MXU fast path, depth-1 pyramids)")
+    p.add_argument("--pack_cap", type=int, default=128,
+                   help="node/edge capacity of one packed superblock")
     return p
 
 
@@ -159,6 +163,8 @@ def main(argv=None) -> None:
         make_loader = lambda ss, sh: BucketedLoader(  # noqa: E731
             ss, batch_size=args.batch_size, shuffle=sh, y_per_edge=y_per_edge,
             seed=fold,
+            layout="dense_packed" if args.layout == "packed" else "coo",
+            node_cap=args.pack_cap, edge_cap=args.pack_cap,
         )
         train_loader = make_loader(train_s, True)
         val_loader = make_loader(val_s, False)

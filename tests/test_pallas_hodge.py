@@ -64,6 +64,57 @@ class TestFusedLaguerre:
         for a, e, name in zip(gf, gx, ("dx", "dw", "db")):
             np.testing.assert_allclose(a, e, rtol=2e-3, atol=2e-3, err_msg=name)
 
+    def test_msi_remat_fused_model_grads_match_plain(self, rng):
+        """The default bench recipe — fused conv kernel + MSI-only remat —
+        must produce the same gradients as the plain XLA path."""
+        from hl_hgat_tpu.complex.dense import collate_dense_packed
+        from hl_hgat_tpu.data.synthetic import random_simplex_sample
+        from hl_hgat_tpu.models import BackboneConfig, HLHGCNNGraph
+        from hl_hgat_tpu.nn.conv import use_fused_dense
+
+        samples = [
+            random_simplex_sample(
+                rng, n_nodes=int(rng.integers(10, 18)), node_feat=4,
+                edge_feat=3, keig=0,
+            )
+            for _ in range(4)
+        ]
+        batch = jax.tree.map(
+            jnp.asarray,
+            collate_dense_packed(samples, node_cap=40, edge_cap=48),
+        )
+        cfg = dict(channels=(1, 1), filters=(8, 16), k=4, init_k=4)
+        grads = {}
+        try:
+            for name, remat, fused in (
+                ("plain", False, False),
+                ("msi_fused", "msi", True),
+            ):
+                use_fused_dense(fused)
+                model = HLHGCNNGraph(
+                    cfg=BackboneConfig(**cfg, remat=remat), num_classes=1
+                )
+                v = model.init(
+                    {"params": jax.random.key(0)}, batch, deterministic=True
+                )
+
+                def loss(p):
+                    out, _ = model.apply(
+                        {**v, "params": p}, batch, deterministic=False,
+                        mutable=["batch_stats"],
+                        rngs={"dropout": jax.random.key(1)},
+                    )
+                    return jnp.sum(out ** 2)
+
+                grads[name] = jax.grad(loss)(v["params"])
+        finally:
+            use_fused_dense(False)
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            grads["plain"], grads["msi_fused"],
+        )
+        assert max(jax.tree.leaves(diffs)) < 1e-3
+
     def test_jit_and_scan(self, rng):
         """The kernel must compose with jit + scan (the bench pattern)."""
         l, x, w, b = setup(rng, k=3)
