@@ -52,10 +52,6 @@ class BucketedLoader:
     def __post_init__(self):
         if self.layout not in ("coo", "dense_packed"):
             raise ValueError(f"unknown layout {self.layout!r}")
-        if self.layout == "dense_packed" and len(self.samples[0].levels) > 1:
-            raise NotImplementedError(
-                "dense_packed layout supports depth-1 complexes (no pyramid)"
-            )
         costs = np.asarray([_sample_cost(s) for s in self.samples])
         if self.num_buckets > 1:
             qs = np.quantile(
@@ -151,6 +147,7 @@ class BucketedLoader:
                         batch_samples, self.node_cap, self.edge_cap
                     )
                     m = self._block_multiple
+                    depth = len(batch_samples[0].levels)
                     yield collate_dense_packed(
                         batch_samples,
                         node_cap=self.node_cap,
@@ -158,6 +155,10 @@ class BucketedLoader:
                         y_per_edge=self.y_per_edge,
                         bins=bins,
                         num_blocks=-(-len(bins) // m) * m,
+                        # coarse levels are strictly smaller than the fine
+                        # level, so the level-0 caps are a safe static bound
+                        level_caps=[(self.node_cap, self.edge_cap)]
+                        * (depth - 1),
                     )
                 else:
                     yield collate(

@@ -60,18 +60,31 @@ def _split_c(c: int) -> tuple[int, int]:
     return _CT_MAX, -(-c // _CT_MAX) * _CT_MAX
 
 
+def _prec(dtype):
+    # f32 matmuls on the MXU default to a bf16-decomposition (~3e-4 relative
+    # error over a K-term recurrence); accuracy-gated f32 runs need the full
+    # passes.  bf16 inputs keep DEFAULT (already exact for bf16 operands).
+    return (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(dtype) == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def _dot(a, b, out_dtype):
+    return jnp.dot(
+        a, b, preferred_element_type=jnp.float32, precision=_prec(a.dtype)
+    ).astype(out_dtype)
+
+
 def _terms(l, x, k):
     """Recurrence terms as a python-unrolled list (k is static)."""
     terms = [x]
     if k > 1:
-        terms.append(
-            x - jnp.dot(l, x, preferred_element_type=jnp.float32).astype(x.dtype)
-        )
+        terms.append(x - _dot(l, x, x.dtype))
     j = 1
     for _ in range(2, k):
-        lt = jnp.dot(l, terms[-1], preferred_element_type=jnp.float32).astype(
-            x.dtype
-        )
+        lt = _dot(l, terms[-1], x.dtype)
         terms.append(((-lt + (2 * j + 1) * terms[-1] - j * terms[-2]) / (j + 1)))
         j += 1
     return terms
@@ -83,12 +96,13 @@ def _fwd_kernel(l_ref, x_ref, w_ref, b_ref, out_ref, acc_ref, *, k, n_ct):
     l = l_ref[0].astype(x.dtype)
     terms = _terms(l, x, k)
     partial = jnp.dot(
-        terms[0], w_ref[0].astype(x.dtype), preferred_element_type=jnp.float32
+        terms[0], w_ref[0].astype(x.dtype),
+        preferred_element_type=jnp.float32, precision=_prec(x.dtype),
     )
     for kk in range(1, k):
         partial += jnp.dot(
             terms[kk], w_ref[kk].astype(x.dtype),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_prec(x.dtype),
         )
 
     @pl.when(j == 0)
@@ -122,7 +136,8 @@ def _bwd_kernel(l_ref, x_ref, w_ref, g_ref, dx_ref, dw_ref, db_ref, *, k):
 
     for kk in range(k):
         dw_ref[kk] += jnp.dot(
-            terms[kk].T, g.astype(x.dtype), preferred_element_type=jnp.float32
+            terms[kk].T, g.astype(x.dtype),
+            preferred_element_type=jnp.float32, precision=_prec(x.dtype),
         ).astype(dw_ref.dtype)
 
     @pl.when(jnp.logical_and(i == 0, j == 0))
@@ -136,7 +151,8 @@ def _bwd_kernel(l_ref, x_ref, w_ref, g_ref, dx_ref, dw_ref, db_ref, *, k):
     # --- dx: adjoint of the recurrence (channel-independent per c-tile) ---
     b_list = [
         jnp.dot(
-            g, w_ref[kk].astype(g.dtype).T, preferred_element_type=jnp.float32
+            g, w_ref[kk].astype(g.dtype).T,
+            preferred_element_type=jnp.float32, precision=_prec(x.dtype),
         ).astype(x.dtype)
         for kk in range(k)
     ]  # bar-T_k, each [S, Ct]
@@ -144,17 +160,13 @@ def _bwd_kernel(l_ref, x_ref, w_ref, g_ref, dx_ref, dw_ref, db_ref, *, k):
     for kk in range(k - 1, 1, -1):
         jj = kk - 1  # T_{j+1} = (−L T_j + (2j+1) T_j − j T_{j−1})/(j+1)
         bt = b_list[kk]
-        lbt = jnp.dot(l, bt, preferred_element_type=jnp.float32).astype(x.dtype)
+        lbt = _dot(l, bt, x.dtype)
         b_list[kk - 1] = b_list[kk - 1] + (-lbt + (2 * jj + 1) * bt) / (jj + 1)
         b_list[kk - 2] = b_list[kk - 2] - (jj / (jj + 1)) * bt
     dx = b_list[0]
     if k > 1:
         b1 = b_list[1]
-        dx = (
-            dx
-            + b1
-            - jnp.dot(l, b1, preferred_element_type=jnp.float32).astype(x.dtype)
-        )
+        dx = dx + b1 - _dot(l, b1, x.dtype)
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 

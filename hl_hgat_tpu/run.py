@@ -47,6 +47,15 @@ def build_argparser() -> argparse.ArgumentParser:
                         "superblocks (MXU fast path, depth-1 pyramids)")
     p.add_argument("--pack_cap", type=int, default=128,
                    help="node/edge capacity of one packed superblock")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="activation compute dtype (accuracy gates default "
+                        "to float32; bfloat16 is the throughput recipe)")
+    p.add_argument("--remat", default="0", choices=["0", "1", "msi"],
+                   help="backward rematerialization granularity")
+    p.add_argument("--fused", type=int, default=1,
+                   help="route dense-layout Laguerre convs through the "
+                        "fused Pallas kernel (benchmarks/RESULTS.md)")
     return p
 
 
@@ -130,9 +139,24 @@ def main(argv=None) -> None:
 
     settings = BENCH_SETTINGS[args.benchmark]
     folds = [args.fold] if args.fold >= 0 else list(range(args.folds))
+    if args.fused:
+        from hl_hgat_tpu.nn.conv import use_fused_dense
+
+        use_fused_dense(True)
     for fold in folds:
         print(f"Fold {fold} begin")
         model, meta = make_model(args)
+        # apply the perf recipe uniformly (presets expose cfg)
+        import dataclasses as _dc
+
+        model = _dc.replace(
+            model,
+            cfg=_dc.replace(
+                model.cfg,
+                compute_dtype=args.dtype,
+                remat={"0": False, "1": True, "msi": "msi"}[args.remat],
+            ),
+        )
         cfg = TrainerConfig(
             task=settings["task"],
             lr=args.lr,

@@ -257,3 +257,29 @@ class TestCacheAndLoader:
                                   keig=4))
         assert len(samples2) == 2
         assert samples2[0].extra["edge_label"].shape == (5,)
+
+    def test_bucketed_loader_dense_packed_pyramid(self, rng):
+        """Packed layout with an MLGC pyramid: static shapes across epochs,
+        coarse levels capped by the level-0 caps."""
+        samples = [
+            random_simplex_sample(
+                rng, n_nodes=int(rng.integers(10, 20)), num_pool=1
+            )
+            for _ in range(17)
+        ]
+        loader = BucketedLoader(
+            samples, batch_size=8, layout="dense_packed",
+            node_cap=48, edge_cap=56, seed=2,
+        )
+        shapes = set()
+        for batch in loader:
+            assert len(batch.levels) == 2 and len(batch.pools) == 1
+            lvl1 = batch.levels[1]
+            assert lvl1.n_gid is not None
+            assert batch.pools[0].p_t.shape[1] == lvl1.node_mask.shape[1]
+            shapes.add(tuple(x.shape for x in (batch.x_t, lvl1.l0)))
+        assert len(shapes) <= 2
+        shapes2 = {
+            tuple(x.shape for x in (b.x_t, b.levels[1].l0)) for b in loader
+        }
+        assert shapes2 <= shapes
