@@ -38,11 +38,11 @@ BASELINE_EDGES_PER_SEC = 1.0e6
 
 STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS", "10"))
 TIMED_CALLS = 3
-# Honest single-chip numbers (host-readback barrier): packed superblocks,
-# batch 12288, bf16 + per-layer remat → 1.92 steps/s = 602k real edges/s;
-# full sweep + methodology note in benchmarks/RESULTS.md.  Override batch /
-# dtype / remat / K / filters via env.
-BATCH_GRAPHS = int(os.environ.get("BENCH_BATCH_GRAPHS", "12288"))
+# Measured single-chip frontier (host-readback barrier): packed superblocks,
+# batch 6144, bf16, NO remat → 5.08 steps/s = 797k real edges/s; full sweep
+# + methodology note in benchmarks/RESULTS.md.  Override batch / dtype /
+# remat / K / filters via env.
+BATCH_GRAPHS = int(os.environ.get("BENCH_BATCH_GRAPHS", "6144"))
 
 
 def main() -> None:
@@ -64,12 +64,14 @@ def main() -> None:
     # gather/segment-sum path.
     mode = sys.argv[1] if len(sys.argv) > 1 else "packed"
 
-    # Fused Pallas Laguerre kernel + MSI-only remat is the measured best
-    # recipe (2.23 steps/s vs 2.04 XLA-path full-remat at batch 12288;
-    # benchmarks/RESULTS.md) — the kernel's custom VJP keeps the term
-    # pyramid out of HBM, so the convs don't need remat.
+    # Measured frontier (benchmarks/RESULTS.md): XLA path, NO remat, batch
+    # 6144 = 5.08 steps/s (797k edges/s) is the single-chip best — no-remat
+    # avoids the replay, and with terms resident the XLA backward (reads
+    # saved terms) beats the fused kernel's recompute backward.  The fused
+    # kernel + msi-remat is the recipe when memory forces remat (batch
+    # >= 12288): HLHGAT_FUSED_DENSE=1 BENCH_REMAT=msi.
     if mode in ("dense", "packed") and os.environ.get(
-        "HLHGAT_FUSED_DENSE", "1"
+        "HLHGAT_FUSED_DENSE", "0"
     ) == "1":
         from hl_hgat_tpu.nn.conv import use_fused_dense
 
@@ -85,7 +87,7 @@ def main() -> None:
         mlp_channels=(256, 256),
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         remat={"0": False, "1": True, "msi": "msi"}[
-            os.environ.get("BENCH_REMAT", "msi")
+            os.environ.get("BENCH_REMAT", "0")
         ],
     )
     if mode in ("dense", "packed"):

@@ -53,7 +53,7 @@ def build_argparser() -> argparse.ArgumentParser:
                         "to float32; bfloat16 is the throughput recipe)")
     p.add_argument("--remat", default="0", choices=["0", "1", "msi"],
                    help="backward rematerialization granularity")
-    p.add_argument("--fused", type=int, default=1,
+    p.add_argument("--fused", type=int, default=0,
                    help="route dense-layout Laguerre convs through the "
                         "fused Pallas kernel (benchmarks/RESULTS.md)")
     return p
