@@ -32,8 +32,12 @@ def check(g, s, c, f, k, dtype, rtol, atol):
     b = jnp.asarray(rng.standard_normal(f), jnp.float32)
     l = jnp.asarray(l)
 
-    out_f = jax.jit(laguerre_dense_fused)(l, x, w, b)
-    out_x = jax.jit(laguerre_matvec)(x, l, w, b)
+    # the fused kernel runs f32 dots at HIGHEST precision; the XLA path
+    # defaults to the MXU's bf16x3 decomposition (comparable to A100 TF32
+    # defaults) — match precision for the comparison
+    with jax.default_matmul_precision("highest"):
+        out_f = jax.jit(laguerre_dense_fused)(l, x, w, b)
+        out_x = jax.jit(laguerre_matvec)(x, l, w, b)
     np.testing.assert_allclose(
         np.asarray(out_f, np.float32), np.asarray(out_x, np.float32),
         rtol=rtol, atol=atol,
@@ -45,8 +49,9 @@ def check(g, s, c, f, k, dtype, rtol, atol):
     def loss_x(x, w):
         return jnp.sum(laguerre_matvec(x, l, w, b) ** 2)
 
-    gf = jax.jit(jax.grad(loss_f, argnums=(0, 1)))(x, w)
-    gx = jax.jit(jax.grad(loss_x, argnums=(0, 1)))(x, w)
+    with jax.default_matmul_precision("highest"):
+        gf = jax.jit(jax.grad(loss_f, argnums=(0, 1)))(x, w)
+        gx = jax.jit(jax.grad(loss_x, argnums=(0, 1)))(x, w)
     for a, e, name in zip(gf, gx, ("dx", "dw")):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(e, np.float32),
