@@ -36,13 +36,15 @@ import numpy as np
 # denominator recorded alongside the measurement.
 BASELINE_EDGES_PER_SEC = 1.0e6
 
-STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS", "10"))
+STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS", "200"))
 TIMED_CALLS = 3
-# Measured single-chip frontier (host-readback barrier): packed superblocks,
-# batch 6144, bf16, NO remat → 5.08 steps/s = 797k real edges/s; full sweep
-# + methodology note in benchmarks/RESULTS.md.  Override batch / dtype /
-# remat / K / filters via env.
-BATCH_GRAPHS = int(os.environ.get("BENCH_BATCH_GRAPHS", "6144"))
+# Measured single-chip optimum (host-readback barrier): packed superblocks,
+# batch 256, bf16, NO remat → 252 steps/s = 1.63M real edges/s.  Per-edge
+# throughput RISES as batch shrinks (XLA auto-spill near the HBM ceiling)
+# until a knee at ~256; full frontier + methodology note in
+# benchmarks/RESULTS.md.  Override batch / dtype / remat / K / filters via
+# env.
+BATCH_GRAPHS = int(os.environ.get("BENCH_BATCH_GRAPHS", "256"))
 
 
 def main() -> None:
@@ -65,11 +67,11 @@ def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "packed"
 
     # Measured frontier (benchmarks/RESULTS.md): XLA path, NO remat, batch
-    # 6144 = 5.08 steps/s (797k edges/s) is the single-chip best — no-remat
-    # avoids the replay, and with terms resident the XLA backward (reads
-    # saved terms) beats the fused kernel's recompute backward.  The fused
-    # kernel + msi-remat is the recipe when memory forces remat (batch
-    # >= 12288): HLHGAT_FUSED_DENSE=1 BENCH_REMAT=msi.
+    # 256 = 1.63M edges/s is the single-chip best — no-remat avoids the
+    # replay, and with terms resident the XLA backward (reads saved terms)
+    # beats the fused kernel's recompute backward.  The fused kernel +
+    # msi-remat is the recipe when a huge batch forces remat:
+    # HLHGAT_FUSED_DENSE=1 BENCH_REMAT=msi.
     if mode in ("dense", "packed") and os.environ.get(
         "HLHGAT_FUSED_DENSE", "0"
     ) == "1":
