@@ -39,12 +39,13 @@ BASELINE_EDGES_PER_SEC = 1.0e6
 STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS", "200"))
 TIMED_CALLS = 3
 # Measured single-chip optimum (host-readback barrier): packed superblocks,
-# batch 256, bf16, NO remat → 252 steps/s = 1.63M real edges/s.  Per-edge
-# throughput RISES as batch shrinks (XLA auto-spill near the HBM ceiling)
-# until a knee at ~256; full frontier + methodology note in
-# benchmarks/RESULTS.md.  Override batch / dtype / remat / K / filters via
-# env.
-BATCH_GRAPHS = int(os.environ.get("BENCH_BATCH_GRAPHS", "256"))
+# batch 320, bf16, NO remat, merged-GEMM MSI + block-granular stacks →
+# 217 steps/s = 1.77M real edges/s.  Per-edge throughput peaks at the batch
+# where XLA's auto-spill pass starts firing (HBM ceiling); the merged-GEMM
+# traffic cut moved the knee from 256 to 320.  Full frontier + methodology
+# note in benchmarks/RESULTS.md.  Override batch / dtype / remat / K /
+# filters / stack granularity via env.
+BATCH_GRAPHS = int(os.environ.get("BENCH_BATCH_GRAPHS", "320"))
 
 
 def main() -> None:
@@ -91,6 +92,17 @@ def main() -> None:
         remat={"0": False, "1": True, "msi": "msi"}[
             os.environ.get("BENCH_REMAT", "0")
         ],
+    )
+    # stack materialization granularity (models/backbone.py stack_concat):
+    # 'layer' = reference formulation, 'block' = concat at width changes,
+    # 'never' = pure piece tuples
+    import dataclasses as _dc
+
+    model = _dc.replace(
+        model,
+        cfg=_dc.replace(
+            model.cfg, stack_concat=os.environ.get("BENCH_STACK", "block")
+        ),
     )
     if mode in ("dense", "packed"):
         # the throttled host takes minutes to collate 12k+ graphs; cache the

@@ -33,8 +33,9 @@ class BucketedLoader:
     * ``"dense_packed"`` — superblock `DenseBatch` (MXU fast path,
       complex/dense.py): ~4-5 small graphs per 128-row tile, block count
       padded to a per-bucket static cap so the jitted step compiles once per
-      bucket.  Depth-1 pyramids only (pooled models use coo or per-graph
-      dense).
+      bucket.  MLGC pyramids pack too — coarse levels reuse the level-0
+      graph→bin assignment, capped by the level-0 caps (coarse complexes
+      are strictly smaller).
     """
 
     samples: Sequence[GraphSample]

@@ -84,6 +84,18 @@ class BackboneConfig:
     #   False — no remat.
     # Parameter trees are unchanged (lifted transform keeps scope names).
     remat: bool | str = False
+    # Dense-concat stack materialization granularity (exact math either way;
+    # the stacks may be carried as tuples of column pieces, see
+    # nn/interaction.py _as_pieces):
+    #   'layer' — concat after every layer (the reference's formulation):
+    #             pays O(L²) stack writes + duplicated backward residuals,
+    #             but every MSI GEMM is one wide dot.
+    #   'block' — concat only when the block width changes: ≤ channels[i]
+    #             pieces per MSI GEMM (few partial-sum outputs), stack
+    #             writes only at block transitions.
+    #   'never' — pure pieces: zero concat writes, O(L) residuals, but each
+    #             MSI GEMM pays one [N, 2dv] f32 partial sum per piece.
+    stack_concat: str = "block"
 
 
 class DenseInt3Backbone(nn.Module):
@@ -126,7 +138,13 @@ class DenseInt3Backbone(nn.Module):
             cfg.filters[0], cfg.init_k, cfg.act, cfg.leaky_slope, cfg.dropout,
             name="init_edge",
         )(x_s, level.l1, level.edge_mask, deterministic=deterministic)
-        x_t0, x_s0 = x_t, x_s
+        # The dense-concat stacks are carried as tuples of column pieces
+        # (virtual concats, nn/interaction.py _as_pieces): MSI consumes them
+        # piecewise via kernel row-slices, so the O(L²) stack concats are
+        # never materialized and autodiff saves each layer output once —
+        # not once per downstream stack copy.
+        pieces_t: tuple[Array, ...] = (x_t,)
+        pieces_s: tuple[Array, ...] = (x_s,)
 
         k = 0  # pooling level index
         atts: list[tuple[Array, Array]] = []
@@ -146,33 +164,48 @@ class DenseInt3Backbone(nn.Module):
                 if cfg.msi_per_layer:
                     x_t, x_s = NEIntCls(
                         dv=width, lam=cfg.att_lam, name=f"NEInt{i}{j}"
-                    )(x_t0, x_s0, level, deg, deterministic)
+                    )(pieces_t, pieces_s, level, deg, deterministic)
                     x_t, x_s = NEPairCls(
                         width, cfg.k, cfg.act, cfg.leaky_slope, cfg.dropout,
                         name=f"NEConv{i}{j}",
                     )(x_t, x_s, level, deterministic)
                 else:
+                    # poolint3: the conv recurrence needs a materialized
+                    # stack (L mixes rows at full width) — concat here, as
+                    # the reference does every layer
                     x_t, x_s = NEPairCls(
                         width, cfg.k, cfg.act, cfg.leaky_slope, cfg.dropout,
                         name=f"NEConv{i}{j}",
-                    )(x_t0, x_s0, level, deterministic)
-                x_t0 = jnp.concatenate([x_t0, x_t], axis=-1)
-                x_s0 = jnp.concatenate([x_s0, x_s], axis=-1)
+                    )(
+                        jnp.concatenate(pieces_t, axis=-1),
+                        jnp.concatenate(pieces_s, axis=-1),
+                        level, deterministic,
+                    )
+                pieces_t += (x_t,)
+                pieces_s += (x_s,)
                 snapshots.append((x_t, x_s))
+                if cfg.stack_concat == "layer" and len(pieces_t) > 1:
+                    pieces_t = (jnp.concatenate(pieces_t, axis=-1),)
+                    pieces_s = (jnp.concatenate(pieces_s, axis=-1),)
 
             if not cfg.msi_per_layer:
                 # poolint3: one MSI per block after the convs (reference
                 # lib/Hodge_ST_Model.py:737-740)
                 x_t, x_s = NEIntCls(dv=width, name=f"NEInt{i}")(
-                    x_t0, x_s0, level, deg, deterministic
+                    pieces_t, pieces_s, level, deg, deterministic
                 )
-                x_t0 = jnp.concatenate([x_t0, x_t], axis=-1)
-                x_s0 = jnp.concatenate([x_s0, x_s], axis=-1)
+                pieces_t += (x_t,)
+                pieces_s += (x_s,)
+
+            if cfg.stack_concat == "block" and len(pieces_t) > 1:
+                pieces_t = (jnp.concatenate(pieces_t, axis=-1),)
+                pieces_s = (jnp.concatenate(pieces_s, axis=-1),)
 
             gated_here = i in cfg.att_locs or i in cfg.pool_locs
             if gated_here:
                 g_in_t, g_in_s = (
-                    (x_t, x_s) if cfg.gate_input == "last" else (x_t0, x_s0)
+                    (x_t, x_s) if cfg.gate_input == "last"
+                    else (pieces_t, pieces_s)
                 )
                 a_t, a_s = NodeEdgeInt(
                     dk=cfg.att_dk, only_att=True, sigma=cfg.att_sigma,
@@ -183,8 +216,8 @@ class DenseInt3Backbone(nn.Module):
                     a_s = a_s / jnp.maximum(jnp.max(a_s), 1e-12)
                 atts.append((a_t, a_s))
                 if cfg.gate_target == "stack":
-                    x_t0 = x_t0 * a_t
-                    x_s0 = x_s0 * a_s
+                    pieces_t = tuple(p * a_t for p in pieces_t)
+                    pieces_s = tuple(p * a_s for p in pieces_s)
                 else:
                     x_t = x_t * a_t
                     x_s = x_s * a_s
@@ -192,14 +225,23 @@ class DenseInt3Backbone(nn.Module):
             if i in cfg.pool_locs:
                 coarse = batch.levels[k + 1]
                 x_t0, x_s0 = sapool_scatter(
-                    x_t0, x_s0, batch.pools[k], level, coarse
+                    jnp.concatenate(pieces_t, axis=-1),
+                    jnp.concatenate(pieces_s, axis=-1),
+                    batch.pools[k], level, coarse,
                 )
+                pieces_t, pieces_s = (x_t0,), (x_s0,)
                 k += 1
                 level = coarse
                 deg = level.deg + cfg.deg_eps
 
         return dict(
-            x_t=x_t, x_s=x_s, x_t0=x_t0, x_s0=x_s0, level_idx=k, atts=atts,
+            x_t=x_t, x_s=x_s,
+            # materialized stacks for heads/analysis that want them; unused
+            # concats are dead code under jit (the flagship graph head pools
+            # only the last-layer features)
+            x_t0=jnp.concatenate(pieces_t, axis=-1),
+            x_s0=jnp.concatenate(pieces_s, axis=-1),
+            level_idx=k, atts=atts,
             # per-layer (x_t, x_s) snapshots for feature-trend analysis
             # (reference lib/Visualization.py:35-122 emits sout/tout)
             snapshots=snapshots,

@@ -44,7 +44,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--save_dir", default="./weights")
     p.add_argument("--layout", default="coo", choices=["coo", "packed"],
                    help="batch layout: coo (general) or packed dense "
-                        "superblocks (MXU fast path, depth-1 pyramids)")
+                        "superblocks (MXU fast path, pyramids included)")
     p.add_argument("--pack_cap", type=int, default=128,
                    help="node/edge capacity of one packed superblock")
     p.add_argument("--dtype", default="float32",
@@ -53,6 +53,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "to float32; bfloat16 is the throughput recipe)")
     p.add_argument("--remat", default="0", choices=["0", "1", "msi"],
                    help="backward rematerialization granularity")
+    p.add_argument("--stack_concat", default="block",
+                   choices=["layer", "block", "never"],
+                   help="dense-concat stack materialization granularity "
+                        "(models/backbone.py)")
     p.add_argument("--fused", type=int, default=0,
                    help="route dense-layout Laguerre convs through the "
                         "fused Pallas kernel (benchmarks/RESULTS.md)")
@@ -155,6 +159,7 @@ def main(argv=None) -> None:
                 model.cfg,
                 compute_dtype=args.dtype,
                 remat={"0": False, "1": True, "msi": "msi"}[args.remat],
+                stack_concat=args.stack_concat,
             ),
         )
         cfg = TrainerConfig(
