@@ -63,7 +63,13 @@ def main():
     model, meta = presets.cifar10sp_attpool(mlp_channels=(256,))
     model = dataclasses.replace(
         model,
-        cfg=dataclasses.replace(model.cfg, compute_dtype="bfloat16"),
+        cfg=dataclasses.replace(
+            model.cfg,
+            compute_dtype="bfloat16",
+            # preset default is "layer" (measured optimum for the pooled
+            # family); override for A/B via BENCH_STACK
+            stack_concat=os.environ.get("BENCH_STACK", model.cfg.stack_concat),
+        ),
     )
     trainer = Trainer(
         model, TrainerConfig(task="classification", lr=1e-3)

@@ -62,6 +62,7 @@ def zinc_attpool(
         channels=tuple(channels), filters=tuple(filters), k=k, init_k=k,
         act="relu", dropout=dropout, deg_eps=0.0,
         pool_locs=(0,), att_sigma="relu", gate_input="last", gate_target="last",
+        stack_concat="layer",  # pooled family: measured faster than "block"
     )
     return HLHGCNNGraph(cfg=cfg, mlp_channels=tuple(mlp_channels)), dict(
         task="regression", y_mean=0.0153, y_std=2.0109
@@ -77,6 +78,7 @@ def zinc_poolint3_pyr(
     cfg = BackboneConfig(
         channels=tuple(channels), filters=tuple(filters), k=k, init_k=k,
         act="relu", dropout=dropout, deg_eps=0.0, msi_per_layer=False,
+        stack_concat="layer",  # conv recurrence materializes stacks anyway
     )
     return HLHGCNNGraph(cfg=cfg, mlp_channels=tuple(mlp_channels)), dict(
         task="regression", y_mean=0.0153, y_std=2.0109
@@ -108,6 +110,7 @@ def pepfunc_attpool(
         pool_locs=(pool_loc,),
         att_locs=tuple(range(n_blocks)) if script_variant else (),
         att_sigma="sigmoid", gate_input="stack", gate_target="stack",
+        stack_concat="layer",  # pooled family: measured faster than "block"
     )
     return HLHGCNNGraph(
         cfg=cfg, mlp_channels=tuple(mlp_channels), num_classes=10
@@ -175,6 +178,7 @@ def cifar10sp_attpool(
         act="relu", dropout=dropout, deg_eps=1e-6,
         pool_locs=(0,), att_sigma="relu", att_lam=lam,
         gate_input="last", gate_target="last", max_normalize_gates=True,
+        stack_concat="layer",  # measured: 1.72M vs 1.62M edges/s at "block"
     )
     return HLHGCNNGraph(
         cfg=cfg, mlp_channels=tuple(mlp_channels), num_classes=10
@@ -196,6 +200,7 @@ def abcd_attpool(
         act="leaky_relu", dropout=dropout, deg_eps=1e-6,
         pool_locs=(0,), att_sigma="sigmoid", gate_input="last",
         gate_target="stack",
+        stack_concat="layer",  # pooled family: measured faster than "block"
     )
     return HLHGCNNAbcd(
         cfg=cfg, mlp_channels=tuple(mlp_channels),
@@ -213,6 +218,7 @@ def hgat_attpool(
         act="leaky_relu", dropout=dropout, deg_eps=1e-6,
         pool_locs=tuple(range(pool_num)), att_sigma="sigmoid",
         gate_input="stack", gate_target="stack",
+        stack_concat="layer",  # pooled family: measured faster than "block"
     )
     return HLHGATAttpool(
         cfg=cfg, mlp_channels=tuple(mlp_channels),

@@ -270,3 +270,46 @@ class TestPaddingInvariance:
         out_tight = model.apply(v, to_device(tight), deterministic=True)
         out_loose = model.apply(v, to_device(loose), deterministic=True)
         np.testing.assert_allclose(out_tight, out_loose, rtol=1e-4, atol=1e-5)
+
+
+class TestStackGranularity:
+    def test_stack_concat_modes_are_exact(self):
+        """stack_concat='layer'/'block'/'never' must produce identical
+        predictions and grads: the virtual-concat pieces and merged GEMMs
+        (nn/interaction.py) are a traffic optimization, not a model change.
+        Grad comparison uses f32 on an MSI-per-layer pyramid model so every
+        piece path (gating, pooling scatter, merged value/attention GEMMs)
+        is exercised."""
+        import dataclasses
+
+        batch = to_device(synthetic_zinc_batch(4, keig=8, num_pool=1))
+        model, _ = presets.zinc_attpool(
+            channels=(1, 1), filters=(8, 16), k=3, keig=8, mlp_channels=(8,)
+        )
+        outs, grads = [], []
+        for mode in ("layer", "block", "never"):
+            m = dataclasses.replace(
+                model, cfg=dataclasses.replace(model.cfg, stack_concat=mode)
+            )
+            variables, out = init_and_forward(m, batch)
+            outs.append(np.asarray(out))
+
+            def loss_fn(params):
+                o = m.apply(
+                    {**variables, "params": params}, batch,
+                    deterministic=False, mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.key(2)},
+                )[0]
+                if isinstance(o, tuple):
+                    o = o[0]
+                return jnp.sum(o**2)
+
+            g = jax.grad(loss_fn)(variables["params"])
+            grads.append(np.concatenate(
+                [np.asarray(x).ravel() for x in jax.tree.leaves(g)]
+            ))
+        for i in (1, 2):
+            np.testing.assert_allclose(outs[0], outs[i], rtol=2e-5, atol=2e-6)
+            np.testing.assert_allclose(
+                grads[0], grads[i], rtol=2e-4, atol=2e-5
+            )
