@@ -89,7 +89,7 @@ def main() -> None:
         k=int(os.environ.get("BENCH_K", "6")), keig=15,
         mlp_channels=(256, 256),
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
-        remat={"0": False, "1": True, "msi": "msi"}[
+        remat={"0": False, "1": True, "msi": "msi", "dots": "dots"}[
             os.environ.get("BENCH_REMAT", "0")
         ],
     )

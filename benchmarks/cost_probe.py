@@ -47,7 +47,7 @@ def main():
     blocks = batch.x_t.shape[0]
     model, meta = presets.zinc_pyr(
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
-        remat={"0": False, "1": True, "msi": "msi"}[
+        remat={"0": False, "1": True, "msi": "msi", "dots": "dots"}[
             os.environ.get("BENCH_REMAT", "1")
         ],
     )

@@ -148,7 +148,20 @@ class DenseInt3Backbone(nn.Module):
 
         k = 0  # pooling level index
         atts: list[tuple[Array, Array]] = []
-        if cfg.remat:
+        if cfg.remat == "dots":
+            # Selective policy: keep every dot/GEMM output resident, replay
+            # only the cheap elementwise/BN tails — cuts saved-activation
+            # HBM traffic without recomputing any MXU work.
+            import jax
+
+            policy = jax.checkpoint_policies.checkpoint_dots
+            NEIntCls = nn.remat(
+                NodeEdgeInt, static_argnums=(5,), policy=policy
+            )
+            NEPairCls = nn.remat(
+                NEConvPair, static_argnums=(4,), policy=policy
+            )
+        elif cfg.remat:
             # static_argnums count self: (x_t, x_s, level, deg, det) → 5 /
             # (x_t, x_s, level, det) → 4
             NEIntCls = nn.remat(NodeEdgeInt, static_argnums=(5,))

@@ -51,7 +51,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="activation compute dtype (accuracy gates default "
                         "to float32; bfloat16 is the throughput recipe)")
-    p.add_argument("--remat", default="0", choices=["0", "1", "msi"],
+    p.add_argument("--remat", default="0",
+                   choices=["0", "1", "msi", "dots"],
                    help="backward rematerialization granularity")
     p.add_argument("--stack_concat", default="block",
                    choices=["layer", "block", "never"],
@@ -158,7 +159,8 @@ def main(argv=None) -> None:
             cfg=_dc.replace(
                 model.cfg,
                 compute_dtype=args.dtype,
-                remat={"0": False, "1": True, "msi": "msi"}[args.remat],
+                remat={"0": False, "1": True, "msi": "msi",
+                       "dots": "dots"}[args.remat],
                 stack_concat=args.stack_concat,
             ),
         )

@@ -89,6 +89,7 @@ class TestFusedLaguerre:
             for name, remat, fused in (
                 ("plain", False, False),
                 ("msi_fused", "msi", True),
+                ("dots", "dots", False),
             ):
                 use_fused_dense(fused)
                 model = HLHGCNNGraph(
@@ -109,11 +110,12 @@ class TestFusedLaguerre:
                 grads[name] = jax.grad(loss)(v["params"])
         finally:
             use_fused_dense(False)
-        diffs = jax.tree.map(
-            lambda a, b: float(jnp.max(jnp.abs(a - b))),
-            grads["plain"], grads["msi_fused"],
-        )
-        assert max(jax.tree.leaves(diffs)) < 1e-3
+        for other in ("msi_fused", "dots"):
+            diffs = jax.tree.map(
+                lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                grads["plain"], grads[other],
+            )
+            assert max(jax.tree.leaves(diffs)) < 1e-3, other
 
     def test_jit_and_scan(self, rng):
         """The kernel must compose with jit + scan (the bench pattern)."""
