@@ -1,0 +1,326 @@
+"""Native packed collate: per-epoch batch assembly without NumPy loops.
+
+`complex/dense.py::collate_dense_packed` is the semantic reference: it
+scatters each graph's Laplacian COO, boundary, masks, degrees, features and
+pooling operators into block-diagonal dense superblocks with ~15 small
+NumPy calls per graph.  The reference framework hides the equivalent cost
+in PyG's multi-worker DataLoader collate (reference lib/Hodge_Dataset.py
+PairData `__inc__` batching); here the host is the bottleneck instead, so:
+
+* `FlatSamples` flattens the dataset ONCE into contiguous arenas
+  (concatenated COO/feature arrays + prefix offsets), and
+* `collate_packed_fast` assembles a batch with three C calls per level
+  (`native/hlhgat_native.cpp::packed_fill_*`); Python only computes the
+  bin placements (pure integer arithmetic).
+
+Bit-compatible with `collate_dense_packed` — tests/test_data.py asserts
+array equality; falls back to it transparently when the native library is
+unavailable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from hl_hgat_tpu import native
+from hl_hgat_tpu.complex.build import GraphSample
+from hl_hgat_tpu.complex.dense import (
+    DenseBatch,
+    DenseLevel,
+    DensePad,
+    DensePool,
+    collate_dense_packed,
+)
+
+
+def _prefix(counts) -> np.ndarray:
+    counts = np.asarray(counts, np.int64)
+    off = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=off[1:])
+    return off
+
+
+@dataclasses.dataclass
+class _FlatLevel:
+    num_nodes: np.ndarray  # [N] int32
+    num_edges: np.ndarray  # [N] int32
+    l0_off: np.ndarray  # [N+1] int64
+    l0_rows: np.ndarray
+    l0_cols: np.ndarray
+    l0_vals: np.ndarray
+    l1_off: np.ndarray
+    l1_rows: np.ndarray
+    l1_cols: np.ndarray
+    l1_vals: np.ndarray
+    e_off: np.ndarray  # [N+1] int64 (src/dst)
+    src: np.ndarray
+    dst: np.ndarray
+
+
+class FlatSamples:
+    """Once-per-dataset contiguous arenas for the native packed collate."""
+
+    def __init__(self, samples: list[GraphSample]):
+        self.samples = samples  # kept for the NumPy fallback
+        self.depth = len(samples[0].levels)
+        self.levels: list[_FlatLevel] = []
+        i32 = lambda a: np.ascontiguousarray(a, np.int32)  # noqa: E731
+        f32 = lambda a: np.ascontiguousarray(a, np.float32)  # noqa: E731
+        cat = np.concatenate
+        for lv in range(self.depth):
+            sts = [s.levels[lv] for s in samples]
+            self.levels.append(
+                _FlatLevel(
+                    num_nodes=i32([st.num_nodes for st in sts]),
+                    num_edges=i32([st.num_edges for st in sts]),
+                    l0_off=_prefix([st.l0_rows.size for st in sts]),
+                    l0_rows=i32(cat([st.l0_rows for st in sts])),
+                    l0_cols=i32(cat([st.l0_cols for st in sts])),
+                    l0_vals=f32(cat([st.l0_vals for st in sts])),
+                    l1_off=_prefix([st.l1_rows.size for st in sts]),
+                    l1_rows=i32(cat([st.l1_rows for st in sts])),
+                    l1_cols=i32(cat([st.l1_cols for st in sts])),
+                    l1_vals=f32(cat([st.l1_vals for st in sts])),
+                    e_off=_prefix([st.src.size for st in sts]),
+                    src=i32(cat([st.src for st in sts])),
+                    dst=i32(cat([st.dst for st in sts])),
+                )
+            )
+        lvl0 = self.levels[0]
+        self.n_off = _prefix(lvl0.num_nodes)
+        self.x_t = np.ascontiguousarray(
+            cat([s.x_t for s in samples]), np.float32
+        )
+        self.x_s = np.ascontiguousarray(
+            cat([s.x_s for s in samples]), np.float32
+        )
+        # pools[k]: flattened fine→coarse assignments (−1 = dropped)
+        self.c_node: list[np.ndarray] = []
+        self.c_edge: list[np.ndarray] = []
+        self.cn_off: list[np.ndarray] = []
+        self.ce_off: list[np.ndarray] = []
+        for lv in range(self.depth - 1):
+            cns = [s.pools[lv][0].reshape(-1) for s in samples]
+            ces = [s.pools[lv][1].reshape(-1) for s in samples]
+            self.c_node.append(np.ascontiguousarray(cat(cns), np.int64))
+            self.c_edge.append(np.ascontiguousarray(cat(ces), np.int64))
+            self.cn_off.append(_prefix([c.size for c in cns]))
+            self.ce_off.append(_prefix([c.size for c in ces]))
+        ys = [np.asarray(s.y, np.float32) for s in samples]
+        flat_ys = [y.reshape(-1) for y in ys]
+        if len({y.shape for y in flat_ys}) == 1:
+            self.y_graph = np.ascontiguousarray(np.stack(flat_ys))
+        else:
+            self.y_graph = None  # ragged (per-edge labels): y_per_edge only
+        # per-edge labels share the level-0 edge arena layout
+        self.y_edge = np.ascontiguousarray(
+            cat([y.reshape(y.shape[0], -1) for y in ys])
+        )
+        self.y_edge_feat = self.y_edge.shape[1]
+        self.y_trailing = ys[0].shape[1:]
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+
+def pack_indices(
+    flat: FlatSamples, indices: np.ndarray, node_cap: int, edge_cap: int
+) -> list[list[int]]:
+    """Next-fit-decreasing bin packing — identical order/assignment to
+    `complex/dense.py::pack_graphs` (bins hold positions into ``indices``)."""
+    n = flat.levels[0].num_nodes[indices]
+    e = flat.levels[0].num_edges[indices]
+    if int(n.max()) > node_cap or int(e.max()) > edge_cap:
+        bad = int(np.argmax((n > node_cap) | (e > edge_cap)))
+        raise ValueError(
+            f"graph ({n[bad]} nodes, {e[bad]} edges) exceeds pack caps "
+            f"({node_cap}, {edge_cap})"
+        )
+    order = np.argsort(-(n.astype(np.int64) + e), kind="stable")
+    bins: list[list[int]] = []
+    cur: list[int] = []
+    cn = ce = 0
+    for pos in order.tolist():
+        nn, ee = int(n[pos]), int(e[pos])
+        if cn + nn > node_cap or ce + ee > edge_cap:
+            bins.append(cur)
+            cur, cn, ce = [], 0, 0
+        cur.append(pos)
+        cn += nn
+        ce += ee
+    if cur:
+        bins.append(cur)
+    return bins
+
+
+def collate_packed_fast(
+    flat: FlatSamples,
+    indices,
+    *,
+    node_cap: int = 128,
+    edge_cap: int = 128,
+    multiple: int = 8,
+    y_per_edge: bool = False,
+    num_blocks: int | None = None,
+    level_caps: list[tuple[int, int]] | None = None,
+    bins: list[list[int]] | None = None,
+) -> DenseBatch:
+    """Assemble `collate_dense_packed(samples[indices], ...)` natively.
+
+    ``bins`` (positions into ``indices``) may be precomputed via
+    `pack_indices` — e.g. the loader packs first to round the block count.
+    """
+    lib = native.load()
+    indices = np.ascontiguousarray(indices, np.int64)
+    if lib is None:
+        return collate_dense_packed(
+            [flat.samples[i] for i in indices],
+            node_cap=node_cap, edge_cap=edge_cap, multiple=multiple,
+            y_per_edge=y_per_edge, num_blocks=num_blocks,
+            level_caps=level_caps,
+        )
+    if bins is None:
+        bins = pack_indices(flat, indices, node_cap, edge_cap)
+    nb = len(bins)
+    if num_blocks is not None:
+        if nb > num_blocks:
+            raise ValueError(f"packing needs {nb} blocks > cap {num_blocks}")
+        nb = num_blocks
+    ng = len(indices)
+    rnd = lambda x: max(-(-x // multiple) * multiple, multiple)  # noqa: E731
+
+    # placements: order samples bin-major (bin order, member order) so the
+    # C loop writes each destination block contiguously; gid stays the
+    # sample's position in the ORIGINAL batch order (= enumerate(samples)
+    # in the NumPy path).
+    flat_order = np.asarray(
+        [p for members in bins for p in members], np.int64
+    )
+    sample_idx = indices[flat_order]  # global dataset index per batch slot
+    gid = flat_order.astype(np.int32)  # value written into n_gid/s_gid
+    bin_of = np.ascontiguousarray(
+        np.repeat(
+            np.arange(len(bins), dtype=np.int32),
+            [len(m) for m in bins],
+        )
+    )
+
+    caps: list[DensePad] = []
+    offs_n: list[np.ndarray] = []  # per level, aligned with flat_order
+    offs_e: list[np.ndarray] = []
+    for lv in range(flat.depth):
+        n_sz = flat.levels[lv].num_nodes[sample_idx].astype(np.int64)
+        e_sz = flat.levels[lv].num_edges[sample_idx].astype(np.int64)
+        no = np.zeros(len(sample_idx), np.int64)
+        eo = np.zeros(len(sample_idx), np.int64)
+        max_n = max_e = 0
+        pos = 0
+        for members in bins:
+            k = len(members)
+            if k:
+                no[pos : pos + k] = np.cumsum(n_sz[pos : pos + k]) - n_sz[
+                    pos : pos + k
+                ]
+                eo[pos : pos + k] = np.cumsum(e_sz[pos : pos + k]) - e_sz[
+                    pos : pos + k
+                ]
+                max_n = max(max_n, int(no[pos + k - 1] + n_sz[pos + k - 1]))
+                max_e = max(max_e, int(eo[pos + k - 1] + e_sz[pos + k - 1]))
+            pos += k
+        if lv == 0:
+            caps.append(DensePad(nodes=rnd(node_cap), edges=rnd(edge_cap)))
+        elif level_caps is not None:
+            cn, ce = level_caps[lv - 1]
+            if max_n > cn or max_e > ce:
+                raise ValueError(
+                    f"level {lv} bin ({max_n}, {max_e}) exceeds caps "
+                    f"({cn}, {ce})"
+                )
+            caps.append(DensePad(nodes=rnd(cn), edges=rnd(ce)))
+        else:
+            caps.append(DensePad(nodes=rnd(max_n), edges=rnd(max_e)))
+        offs_n.append(np.ascontiguousarray(no, np.int32))
+        offs_e.append(np.ascontiguousarray(eo, np.int32))
+
+    nbatch = len(sample_idx)
+    levels: list[DenseLevel] = []
+    for lv in range(flat.depth):
+        fl = flat.levels[lv]
+        s_pad, e_pad = caps[lv].nodes, caps[lv].edges
+        l0 = np.zeros((nb, s_pad, s_pad), np.float32)
+        l1 = np.zeros((nb, e_pad, e_pad), np.float32)
+        b1 = np.zeros((nb, s_pad, e_pad), np.float32)
+        nm = np.zeros((nb, s_pad), np.float32)
+        em = np.zeros((nb, e_pad), np.float32)
+        deg = np.zeros((nb, s_pad), np.float32)
+        n_gid_a = np.full((nb, s_pad), ng, np.int32)
+        s_gid_a = np.full((nb, e_pad), ng, np.int32)
+        # The NumPy path enumerates samples in batch order; both orders
+        # write disjoint destinations, so bin-major is equivalent — except
+        # n_gid/s_gid, which carry the batch position explicitly via `gid`.
+        lib.packed_fill_level(
+            nbatch, sample_idx, bin_of, offs_n[lv], offs_e[lv],
+            fl.num_nodes, fl.num_edges,
+            fl.l0_off, fl.l0_rows, fl.l0_cols, fl.l0_vals,
+            fl.l1_off, fl.l1_rows, fl.l1_cols, fl.l1_vals,
+            fl.e_off, fl.src, fl.dst,
+            gid,
+            s_pad, e_pad,
+            l0, l1, b1, nm, em, deg, n_gid_a, s_gid_a,
+        )
+        levels.append(
+            DenseLevel(
+                l0=l0, l1=l1, b1=b1, node_mask=nm, edge_mask=em, deg=deg,
+                num_graphs=ng, n_gid=n_gid_a, s_gid=s_gid_a,
+            )
+        )
+
+    pools: list[DensePool] = []
+    for lv in range(flat.depth - 1):
+        sc, ec = caps[lv + 1].nodes, caps[lv + 1].edges
+        sf, ef = caps[lv].nodes, caps[lv].edges
+        p_t = np.zeros((nb, sc, sf), np.float32)
+        p_s = np.zeros((nb, ec, ef), np.float32)
+        lib.packed_fill_pool(
+            nbatch, sample_idx, bin_of,
+            offs_n[lv], offs_e[lv], offs_n[lv + 1], offs_e[lv + 1],
+            flat.cn_off[lv], flat.c_node[lv],
+            flat.ce_off[lv], flat.c_edge[lv],
+            nb, sc, sf, ec, ef,
+            p_t, p_s,
+        )
+        pools.append(DensePool(p_t=p_t, p_s=p_s))
+
+    ft = flat.x_t.shape[1]
+    fs = flat.x_s.shape[1]
+    x_t = np.zeros((nb, caps[0].nodes, ft), np.float32)
+    x_s = np.zeros((nb, caps[0].edges, fs), np.float32)
+    lvl0 = flat.levels[0]
+    lib.packed_fill_rows(
+        nbatch, sample_idx, bin_of, offs_n[0], flat.n_off, flat.x_t,
+        ft, caps[0].nodes, x_t,
+    )
+    lib.packed_fill_rows(
+        nbatch, sample_idx, bin_of, offs_e[0], lvl0.e_off, flat.x_s,
+        fs, caps[0].edges, x_s,
+    )
+
+    if y_per_edge:
+        y = np.zeros(
+            (nb, caps[0].edges) + flat.y_trailing, np.float32
+        )
+        lib.packed_fill_rows(
+            nbatch, sample_idx, bin_of, offs_e[0], lvl0.e_off,
+            flat.y_edge, flat.y_edge_feat, caps[0].edges,
+            y.reshape(nb, caps[0].edges, -1),
+        )
+    else:
+        y = flat.y_graph[indices]
+
+    return DenseBatch(
+        x_t=x_t, x_s=x_s, y=y, levels=tuple(levels), pools=tuple(pools),
+        num_graphs=ng,
+    )
+

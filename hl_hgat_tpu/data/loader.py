@@ -96,10 +96,15 @@ class BucketedLoader:
         # per-bucket smallest member: safe filler for short final batches
         # (chunk-sum + (B−k)·min ≤ top-B sum, so pad specs always hold)
         self._filler: list[GraphSample] = []
+        self._filler_idx: list[int] = []
         for b in range(self.num_buckets):
             idx = np.nonzero(self._bucket_of == b)[0]
-            members = [self.samples[i] for i in idx] or list(self.samples)
-            self._filler.append(min(members, key=_sample_cost))
+            cand = idx if idx.size else np.arange(len(self.samples))
+            best = int(
+                min(cand, key=lambda i: _sample_cost(self.samples[i]))
+            )
+            self._filler.append(self.samples[best])
+            self._filler_idx.append(best)
         # packed layout: static per-bucket block cap — worst-case packing is
         # bounded by next-fit's guarantee (each bin ≥ half full except the
         # last per resource), so 2·(worst totals / cap) + 1 always suffices;
@@ -110,6 +115,12 @@ class BucketedLoader:
             # sees one or two distinct shapes per bucket, without paying the
             # worst-case bin-packing bound in empty blocks every batch.
             self._block_multiple = 16
+            # flatten once for the native per-epoch collate
+            # (data/fast_collate.py; transparently falls back to the NumPy
+            # path when the C++ library is unavailable)
+            from hl_hgat_tpu.data.fast_collate import FlatSamples
+
+            self._flat = FlatSamples(list(self.samples))
         self._epoch = 0
 
     @property
@@ -132,25 +143,27 @@ class BucketedLoader:
                 chunk = members[i : i + self.batch_size]
                 if len(chunk) == 0:
                     continue
-                batch_samples = [self.samples[j] for j in chunk]
                 # keep num_graphs static: fill short final batches with the
                 # bucket's smallest sample (duplicates only bias the final
                 # partial batch; evaluation should use batch_size | N)
-                while len(batch_samples) < self.batch_size:
-                    batch_samples.append(self._filler[b])
+                n_fill = self.batch_size - len(chunk)
                 if self.layout == "dense_packed":
-                    from hl_hgat_tpu.complex.dense import (
-                        collate_dense_packed,
-                        pack_graphs,
+                    from hl_hgat_tpu.data.fast_collate import (
+                        collate_packed_fast,
+                        pack_indices,
                     )
 
-                    bins = pack_graphs(
-                        batch_samples, self.node_cap, self.edge_cap
+                    idx = np.concatenate(
+                        [chunk, np.full(n_fill, self._filler_idx[b])]
+                    ).astype(np.int64)
+                    bins = pack_indices(
+                        self._flat, idx, self.node_cap, self.edge_cap
                     )
                     m = self._block_multiple
-                    depth = len(batch_samples[0].levels)
-                    yield collate_dense_packed(
-                        batch_samples,
+                    depth = len(self.samples[0].levels)
+                    yield collate_packed_fast(
+                        self._flat,
+                        idx,
                         node_cap=self.node_cap,
                         edge_cap=self.edge_cap,
                         y_per_edge=self.y_per_edge,
@@ -162,6 +175,9 @@ class BucketedLoader:
                         * (depth - 1),
                     )
                 else:
+                    batch_samples = [self.samples[j] for j in chunk] + [
+                        self._filler[b]
+                    ] * n_fill
                     yield collate(
                         batch_samples, self._pads[b], y_per_edge=self.y_per_edge
                     )

@@ -64,12 +64,42 @@ def _load():
     lib.hodge_l1.restype = ctypes.c_int64
     lib.l1_pair_count.argtypes = [ctypes.c_int64, ctypes.c_int64, i32p, i32p]
     lib.l1_pair_count.restype = ctypes.c_int64
+    lib.packed_fill_level.argtypes = [
+        ctypes.c_int64, i64p, i32p, i32p, i32p,
+        i32p, i32p,
+        i64p, i32p, i32p, f32p,
+        i64p, i32p, i32p, f32p,
+        i64p, i32p, i32p,
+        i32p,
+        ctypes.c_int64, ctypes.c_int64,
+        f32p, f32p, f32p, f32p, f32p, f32p, i32p, i32p,
+    ]
+    lib.packed_fill_level.restype = None
+    lib.packed_fill_rows.argtypes = [
+        ctypes.c_int64, i64p, i32p, i32p, i64p, f32p,
+        ctypes.c_int64, ctypes.c_int64, f32p,
+    ]
+    lib.packed_fill_rows.restype = None
+    lib.packed_fill_pool.argtypes = [
+        ctypes.c_int64, i64p, i32p, i32p, i32p, i32p, i32p,
+        i64p, i64p, i64p, i64p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64,
+        f32p, f32p,
+    ]
+    lib.packed_fill_pool.restype = None
     _lib = lib
     return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def load():
+    """The raw ctypes library (None if unavailable) — for callers that
+    drive the C kernels directly (data/fast_collate.py)."""
+    return _load()
 
 
 def graclus_match(

@@ -193,4 +193,125 @@ int64_t max_row_nnz(int64_t nnz, const int32_t* rows, const float* vals,
   return mx;
 }
 
+
+// ---------------------------------------------------------------------------
+// Packed dense collate (complex/dense.py::collate_dense_packed hot path).
+//
+// The per-epoch batch assembly — scattering each graph's Laplacian COO,
+// boundary, masks, degrees and features into block-diagonal dense
+// superblocks — is a pure host loop the reference delegates to PyG's
+// multi-worker DataLoader collate.  On this host NumPy per-graph calls
+// dominate epoch time, so the fill runs here over a once-per-dataset
+// flattened arena (data/fast_collate.py); Python only computes bin
+// placements.  Bit-compatible with the NumPy path (tests/test_data.py).
+// ---------------------------------------------------------------------------
+
+// Fill one resolution level's operators for one packed batch.
+// Outputs are caller-allocated: l0/l1/b1/nm/em/deg zeroed,
+// n_gid/s_gid prefilled with the dump-bucket id (num_graphs).
+void packed_fill_level(
+    int64_t n_batch, const int64_t* sample_idx, const int32_t* bin_of,
+    const int32_t* node_off, const int32_t* edge_off,
+    // flattened dataset, this level:
+    const int32_t* num_nodes, const int32_t* num_edges,
+    const int64_t* l0_off, const int32_t* l0_rows, const int32_t* l0_cols,
+    const float* l0_vals,
+    const int64_t* l1_off, const int32_t* l1_rows, const int32_t* l1_cols,
+    const float* l1_vals,
+    const int64_t* e_off, const int32_t* src, const int32_t* dst,
+    const int32_t* gid,  // value to write into n_gid/s_gid per batch slot
+    // outputs:
+    int64_t s_pad, int64_t e_pad,
+    float* l0, float* l1, float* b1, float* nm, float* em, float* deg,
+    int32_t* n_gid, int32_t* s_gid) {
+  for (int64_t g = 0; g < n_batch; ++g) {
+    const int64_t si = sample_idx[g];
+    const int64_t b = bin_of[g];
+    const int64_t no = node_off[g], eo = edge_off[g];
+    const int64_t n = num_nodes[si], e = num_edges[si];
+    float* l0b = l0 + b * s_pad * s_pad;
+    for (int64_t k = l0_off[si]; k < l0_off[si + 1]; ++k)
+      l0b[(no + l0_rows[k]) * s_pad + (no + l0_cols[k])] = l0_vals[k];
+    float* l1b = l1 + b * e_pad * e_pad;
+    for (int64_t k = l1_off[si]; k < l1_off[si + 1]; ++k)
+      l1b[(eo + l1_rows[k]) * e_pad + (eo + l1_cols[k])] = l1_vals[k];
+    float* b1b = b1 + b * s_pad * e_pad;
+    float* degb = deg + b * s_pad;
+    for (int64_t k = 0; k < e; ++k) {
+      const int32_t u = src[e_off[si] + k], v = dst[e_off[si] + k];
+      b1b[(no + u) * e_pad + (eo + k)] = -1.0f;
+      b1b[(no + v) * e_pad + (eo + k)] = 1.0f;
+      degb[no + u] += 1.0f;
+      degb[no + v] += 1.0f;
+    }
+    for (int64_t r = 0; r < n; ++r) {
+      nm[b * s_pad + no + r] = 1.0f;
+      n_gid[b * s_pad + no + r] = gid[g];
+    }
+    for (int64_t k = 0; k < e; ++k) {
+      em[b * e_pad + eo + k] = 1.0f;
+      s_gid[b * e_pad + eo + k] = gid[g];
+    }
+  }
+}
+
+// Generic padded row-block copy: out[bin_of[g], row_off[g] + r, :] =
+// flat[flat_off[sample_idx[g]] + r, :].  Used for x_t, x_s and per-edge y.
+void packed_fill_rows(
+    int64_t n_batch, const int64_t* sample_idx, const int32_t* bin_of,
+    const int32_t* row_off, const int64_t* flat_off, const float* flat,
+    int64_t width, int64_t pad, float* out) {
+  for (int64_t g = 0; g < n_batch; ++g) {
+    const int64_t si = sample_idx[g];
+    const int64_t rows = flat_off[si + 1] - flat_off[si];
+    std::memcpy(out + (bin_of[g] * pad + row_off[g]) * width,
+                flat + flat_off[si] * width,
+                static_cast<size_t>(rows * width) * sizeof(float));
+  }
+}
+
+// Fine->coarse pooling operators for one pool level, then row-normalize to
+// means (scatter_mean semantics; all-zero rows keep denominator 1).
+void packed_fill_pool(
+    int64_t n_batch, const int64_t* sample_idx, const int32_t* bin_of,
+    const int32_t* fine_node_off, const int32_t* fine_edge_off,
+    const int32_t* coarse_node_off, const int32_t* coarse_edge_off,
+    const int64_t* cn_off, const int64_t* c_node,
+    const int64_t* ce_off, const int64_t* c_edge,
+    int64_t n_bins, int64_t sc, int64_t sf, int64_t ec, int64_t ef,
+    float* p_t, float* p_s) {
+  for (int64_t g = 0; g < n_batch; ++g) {
+    const int64_t si = sample_idx[g];
+    const int64_t b = bin_of[g];
+    float* ptb = p_t + b * sc * sf;
+    for (int64_t j = 0; j < cn_off[si + 1] - cn_off[si]; ++j) {
+      const int64_t c = c_node[cn_off[si] + j];
+      if (c >= 0)
+        ptb[(coarse_node_off[g] + c) * sf + (fine_node_off[g] + j)] = 1.0f;
+    }
+    float* psb = p_s + b * ec * ef;
+    for (int64_t j = 0; j < ce_off[si + 1] - ce_off[si]; ++j) {
+      const int64_t c = c_edge[ce_off[si] + j];
+      if (c >= 0)
+        psb[(coarse_edge_off[g] + c) * ef + (fine_edge_off[g] + j)] = 1.0f;
+    }
+  }
+  for (int64_t b = 0; b < n_bins; ++b) {
+    for (int64_t r = 0; r < sc; ++r) {
+      float* row = p_t + (b * sc + r) * sf;
+      float s = 0.0f;
+      for (int64_t c = 0; c < sf; ++c) s += row[c];
+      if (s > 1.0f)
+        for (int64_t c = 0; c < sf; ++c) row[c] /= s;
+    }
+    for (int64_t r = 0; r < ec; ++r) {
+      float* row = p_s + (b * ec + r) * ef;
+      float s = 0.0f;
+      for (int64_t c = 0; c < ef; ++c) s += row[c];
+      if (s > 1.0f)
+        for (int64_t c = 0; c < ef; ++c) row[c] /= s;
+    }
+  }
+}
+
 }  // extern "C"

@@ -283,3 +283,73 @@ class TestCacheAndLoader:
             tuple(x.shape for x in (b.x_t, b.levels[1].l0)) for b in loader
         }
         assert shapes2 <= shapes
+
+
+class TestFastCollate:
+    """Native packed collate (data/fast_collate.py) must be bit-identical to
+    the NumPy reference path (complex/dense.py::collate_dense_packed)."""
+
+    def _assert_batches_equal(self, a, b):
+        import jax
+
+        fa, fb = jax.tree.leaves(a), jax.tree.leaves(b)
+        assert len(fa) == len(fb)
+        for x, y in zip(fa, fb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_matches_numpy_path_pyramid(self, rng):
+        from hl_hgat_tpu import native
+        from hl_hgat_tpu.complex.dense import collate_dense_packed
+        from hl_hgat_tpu.data.fast_collate import (
+            FlatSamples,
+            collate_packed_fast,
+        )
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        samples = [
+            random_simplex_sample(
+                rng, n_nodes=int(rng.integers(10, 20)), node_feat=3,
+                edge_feat=2, keig=4, num_pool=1,
+            )
+            for _ in range(23)
+        ]
+        flat = FlatSamples(samples)
+        idx = rng.permutation(23)[:16]
+        fast = collate_packed_fast(
+            flat, idx, node_cap=48, edge_cap=56, num_blocks=16,
+            level_caps=[(48, 56)],
+        )
+        ref = collate_dense_packed(
+            [samples[i] for i in idx], node_cap=48, edge_cap=56,
+            num_blocks=16, level_caps=[(48, 56)],
+        )
+        self._assert_batches_equal(fast, ref)
+
+    def test_matches_numpy_path_y_per_edge(self, rng):
+        from hl_hgat_tpu import native
+        from hl_hgat_tpu.complex.dense import collate_dense_packed
+        from hl_hgat_tpu.data.fast_collate import (
+            FlatSamples,
+            collate_packed_fast,
+        )
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        samples = []
+        for _ in range(9):
+            s = random_simplex_sample(
+                rng, n_nodes=int(rng.integers(8, 16)), node_feat=2,
+                edge_feat=2, keig=0,
+            )
+            s.y = rng.integers(0, 2, (s.num_edges,)).astype(np.float32)
+            samples.append(s)
+        flat = FlatSamples(samples)
+        idx = np.arange(9)
+        fast = collate_packed_fast(
+            flat, idx, node_cap=32, edge_cap=40, y_per_edge=True
+        )
+        ref = collate_dense_packed(
+            samples, node_cap=32, edge_cap=40, y_per_edge=True
+        )
+        self._assert_batches_equal(fast, ref)
