@@ -155,32 +155,25 @@ def pack_indices(
     return bins
 
 
-def collate_packed_fast(
-    flat: FlatSamples,
-    indices,
-    *,
-    node_cap: int = 128,
-    edge_cap: int = 128,
-    multiple: int = 8,
-    y_per_edge: bool = False,
-    num_blocks: int | None = None,
-    level_caps: list[tuple[int, int]] | None = None,
-    bins: list[list[int]] | None = None,
-) -> DenseBatch:
-    """Assemble `collate_dense_packed(samples[indices], ...)` natively.
+@dataclasses.dataclass
+class _Placements:
+    """Bin-major slot layout of one packed batch (shared by the dense and
+    compact collates)."""
 
-    ``bins`` (positions into ``indices``) may be precomputed via
-    `pack_indices` — e.g. the loader packs first to round the block count.
-    """
-    lib = native.load()
-    indices = np.ascontiguousarray(indices, np.int64)
-    if lib is None:
-        return collate_dense_packed(
-            [flat.samples[i] for i in indices],
-            node_cap=node_cap, edge_cap=edge_cap, multiple=multiple,
-            y_per_edge=y_per_edge, num_blocks=num_blocks,
-            level_caps=level_caps,
-        )
+    bins: list
+    nb: int
+    ng: int
+    sample_idx: np.ndarray  # global dataset index per slot
+    gid: np.ndarray  # slot -> position in the original batch order
+    bin_of: np.ndarray
+    caps: list
+    offs_n: list  # per level, node offset of each slot within its bin
+    offs_e: list
+
+
+def _placements(
+    flat, indices, bins, node_cap, edge_cap, multiple, num_blocks, level_caps
+) -> _Placements:
     if bins is None:
         bins = pack_indices(flat, indices, node_cap, edge_cap)
     nb = len(bins)
@@ -191,15 +184,14 @@ def collate_packed_fast(
     ng = len(indices)
     rnd = lambda x: max(-(-x // multiple) * multiple, multiple)  # noqa: E731
 
-    # placements: order samples bin-major (bin order, member order) so the
-    # C loop writes each destination block contiguously; gid stays the
-    # sample's position in the ORIGINAL batch order (= enumerate(samples)
-    # in the NumPy path).
+    # slots are bin-major (bin order, member order) so fills write each
+    # destination block contiguously; gid keeps the sample's position in
+    # the ORIGINAL batch order (= enumerate(samples) in the NumPy path).
     flat_order = np.asarray(
         [p for members in bins for p in members], np.int64
     )
-    sample_idx = indices[flat_order]  # global dataset index per batch slot
-    gid = flat_order.astype(np.int32)  # value written into n_gid/s_gid
+    sample_idx = indices[flat_order]
+    gid = flat_order.astype(np.int32)
     bin_of = np.ascontiguousarray(
         np.repeat(
             np.arange(len(bins), dtype=np.int32),
@@ -208,7 +200,7 @@ def collate_packed_fast(
     )
 
     caps: list[DensePad] = []
-    offs_n: list[np.ndarray] = []  # per level, aligned with flat_order
+    offs_n: list[np.ndarray] = []
     offs_e: list[np.ndarray] = []
     for lv in range(flat.depth):
         n_sz = flat.levels[lv].num_nodes[sample_idx].astype(np.int64)
@@ -243,6 +235,45 @@ def collate_packed_fast(
             caps.append(DensePad(nodes=rnd(max_n), edges=rnd(max_e)))
         offs_n.append(np.ascontiguousarray(no, np.int32))
         offs_e.append(np.ascontiguousarray(eo, np.int32))
+    return _Placements(
+        bins=bins, nb=nb, ng=ng, sample_idx=sample_idx, gid=gid,
+        bin_of=bin_of, caps=caps, offs_n=offs_n, offs_e=offs_e,
+    )
+
+
+def collate_packed_fast(
+    flat: FlatSamples,
+    indices,
+    *,
+    node_cap: int = 128,
+    edge_cap: int = 128,
+    multiple: int = 8,
+    y_per_edge: bool = False,
+    num_blocks: int | None = None,
+    level_caps: list[tuple[int, int]] | None = None,
+    bins: list[list[int]] | None = None,
+) -> DenseBatch:
+    """Assemble `collate_dense_packed(samples[indices], ...)` natively.
+
+    ``bins`` (positions into ``indices``) may be precomputed via
+    `pack_indices` — e.g. the loader packs first to round the block count.
+    """
+    lib = native.load()
+    indices = np.ascontiguousarray(indices, np.int64)
+    if lib is None:
+        return collate_dense_packed(
+            [flat.samples[i] for i in indices],
+            node_cap=node_cap, edge_cap=edge_cap, multiple=multiple,
+            y_per_edge=y_per_edge, num_blocks=num_blocks,
+            level_caps=level_caps,
+        )
+    pl = _placements(
+        flat, indices, bins, node_cap, edge_cap, multiple, num_blocks,
+        level_caps,
+    )
+    nb, ng = pl.nb, pl.ng
+    sample_idx, gid, bin_of = pl.sample_idx, pl.gid, pl.bin_of
+    caps, offs_n, offs_e = pl.caps, pl.offs_n, pl.offs_e
 
     nbatch = len(sample_idx)
     levels: list[DenseLevel] = []
@@ -324,3 +355,122 @@ def collate_packed_fast(
         num_graphs=ng,
     )
 
+
+def collate_packed_compact(
+    flat: FlatSamples,
+    indices,
+    *,
+    node_cap: int = 128,
+    edge_cap: int = 128,
+    multiple: int = 8,
+    y_per_edge: bool = False,
+    num_blocks: int | None = None,
+    level_caps: list[tuple[int, int]] | None = None,
+    bins: list[list[int]] | None = None,
+    nnz_caps=None,
+    nnz_multiple: int = 2048,
+    pool_caps: list[int] | None = None,
+):
+    """Packed batch in the compact transfer format (complex/compact.py):
+    same placements as `collate_packed_fast`, but operators travel as COO
+    triplets and densify ON DEVICE via `inflate` (Trainer does so
+    automatically).  `inflate(collate_packed_compact(...))` equals
+    `collate_packed_fast(...)` exactly (tests/test_data.py).
+
+    Pure vectorized NumPy — no native library required.  Pin ``nnz_caps`` /
+    ``pool_caps`` across batches for static jit shapes (defaults round up
+    to ``nnz_multiple``)."""
+    from hl_hgat_tpu.complex.compact import (
+        CompactBatch,
+        CompactPool,
+        _gather_ranges,
+        _pad_i32,
+        _round_cap,
+        compact_operators,
+        flat_positions,
+    )
+
+    indices = np.ascontiguousarray(indices, np.int64)
+    pl = _placements(
+        flat, indices, bins, node_cap, edge_cap, multiple, num_blocks,
+        level_caps,
+    )
+    nb, ng = pl.nb, pl.ng
+    sample_idx, bin_of = pl.sample_idx, pl.bin_of
+    levels, _ = compact_operators(
+        flat, sample_idx, pl.gid, bin_of, pl.offs_n, pl.offs_e, pl.caps,
+        nb, ng, nnz_multiple=nnz_multiple, nnz_caps=nnz_caps,
+    )
+
+    lvl0 = flat.levels[0]
+    n_sz = lvl0.num_nodes[sample_idx].astype(np.int64)
+    e_sz = lvl0.num_edges[sample_idx].astype(np.int64)
+    rows0 = flat_positions(bin_of, pl.offs_n[0], n_sz, pl.caps[0].nodes)
+    cols0 = flat_positions(bin_of, pl.offs_e[0], e_sz, pl.caps[0].edges)
+    ft, fs = flat.x_t.shape[1], flat.x_s.shape[1]
+    x_t = np.zeros((nb * pl.caps[0].nodes, ft), np.float32)
+    x_t[rows0] = flat.x_t[_gather_ranges(flat.n_off, sample_idx)]
+    x_s = np.zeros((nb * pl.caps[0].edges, fs), np.float32)
+    x_s[cols0] = flat.x_s[_gather_ranges(lvl0.e_off, sample_idx)]
+
+    pools = []
+    for lv in range(flat.depth - 1):
+        sc, ec = pl.caps[lv + 1].nodes, pl.caps[lv + 1].edges
+        sf, ef = pl.caps[lv].nodes, pl.caps[lv].edges
+        cn = flat.c_node[lv][_gather_ranges(flat.cn_off[lv], sample_idx)]
+        ce = flat.c_edge[lv][_gather_ranges(flat.ce_off[lv], sample_idx)]
+        fn_sz = (
+            flat.cn_off[lv][sample_idx + 1] - flat.cn_off[lv][sample_idx]
+        ).astype(np.int64)
+        fe_sz = (
+            flat.ce_off[lv][sample_idx + 1] - flat.ce_off[lv][sample_idx]
+        ).astype(np.int64)
+        local_n = np.arange(int(fn_sz.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(fn_sz) - fn_sz, fn_sz
+        )
+        local_e = np.arange(int(fe_sz.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(fe_sz) - fe_sz, fe_sz
+        )
+        tb = np.repeat(bin_of, fn_sz)
+        tr = cn + np.repeat(pl.offs_n[lv + 1].astype(np.int64), fn_sz)
+        tc = local_n + np.repeat(pl.offs_n[lv].astype(np.int64), fn_sz)
+        keep = cn >= 0
+        tb, tr, tc = tb[keep], tr[keep], tc[keep]
+        sb = np.repeat(bin_of, fe_sz)
+        sr = ce + np.repeat(pl.offs_e[lv + 1].astype(np.int64), fe_sz)
+        sc_col = local_e + np.repeat(pl.offs_e[lv].astype(np.int64), fe_sz)
+        keep = ce >= 0
+        sb, sr, sc_col = sb[keep], sr[keep], sc_col[keep]
+        cap = (
+            pool_caps[lv]
+            if pool_caps is not None
+            else _round_cap(max(tb.size, sb.size), nnz_multiple)
+        )
+        if tb.size > cap or sb.size > cap:
+            raise ValueError(
+                f"pool {lv} entries ({tb.size}, {sb.size}) exceed cap {cap}"
+            )
+        pools.append(
+            CompactPool(
+                t_b=_pad_i32(tb, cap, nb), t_r=_pad_i32(tr, cap, 0),
+                t_c=_pad_i32(tc, cap, 0),
+                s_b=_pad_i32(sb, cap, nb), s_r=_pad_i32(sr, cap, 0),
+                s_c=_pad_i32(sc_col, cap, 0),
+                sc=sc, sf=sf, ec=ec, ef=ef,
+            )
+        )
+
+    if y_per_edge:
+        y = np.zeros(
+            (nb * pl.caps[0].edges, flat.y_edge_feat), np.float32
+        )
+        y[cols0] = flat.y_edge[_gather_ranges(lvl0.e_off, sample_idx)]
+        y = y.reshape((nb, pl.caps[0].edges) + flat.y_trailing)
+    else:
+        y = flat.y_graph[indices]
+
+    return CompactBatch(
+        x_t=x_t.reshape(nb, pl.caps[0].nodes, ft),
+        x_s=x_s.reshape(nb, pl.caps[0].edges, fs),
+        y=y, levels=tuple(levels), pools=tuple(pools), num_graphs=ng,
+    )

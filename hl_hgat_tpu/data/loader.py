@@ -49,10 +49,17 @@ class BucketedLoader:
     layout: str = "coo"
     node_cap: int = 128
     edge_cap: int = 128
+    # dense_packed only: "dense" ships ready dense blocks; "compact" ships
+    # COO operator triplets that densify ON DEVICE at step entry
+    # (complex/compact.py inflate; Trainer handles it automatically) —
+    # ~5-15x fewer host->device bytes per batch
+    transfer: str = "dense"
 
     def __post_init__(self):
         if self.layout not in ("coo", "dense_packed"):
             raise ValueError(f"unknown layout {self.layout!r}")
+        if self.transfer not in ("dense", "compact"):
+            raise ValueError(f"unknown transfer {self.transfer!r}")
         costs = np.asarray([_sample_cost(s) for s in self.samples])
         if self.num_buckets > 1:
             qs = np.quantile(
@@ -149,6 +156,7 @@ class BucketedLoader:
                 n_fill = self.batch_size - len(chunk)
                 if self.layout == "dense_packed":
                     from hl_hgat_tpu.data.fast_collate import (
+                        collate_packed_compact,
                         collate_packed_fast,
                         pack_indices,
                     )
@@ -161,7 +169,12 @@ class BucketedLoader:
                     )
                     m = self._block_multiple
                     depth = len(self.samples[0].levels)
-                    yield collate_packed_fast(
+                    fn = (
+                        collate_packed_compact
+                        if self.transfer == "compact"
+                        else collate_packed_fast
+                    )
+                    yield fn(
                         self._flat,
                         idx,
                         node_cap=self.node_cap,

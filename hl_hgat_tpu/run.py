@@ -47,6 +47,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "superblocks (MXU fast path, pyramids included)")
     p.add_argument("--pack_cap", type=int, default=128,
                    help="node/edge capacity of one packed superblock")
+    p.add_argument("--transfer", default="compact",
+                   choices=["dense", "compact"],
+                   help="packed-layout transfer format: compact ships COO "
+                        "operator triplets and densifies on device "
+                        "(complex/compact.py; measured 3.8-7.4x epoch "
+                        "speedup), dense ships ready blocks")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="activation compute dtype (accuracy gates default "
@@ -196,6 +202,7 @@ def main(argv=None) -> None:
             seed=fold,
             layout="dense_packed" if args.layout == "packed" else "coo",
             node_cap=args.pack_cap, edge_cap=args.pack_cap,
+            transfer=args.transfer,
         )
         train_loader = make_loader(train_s, True)
         val_loader = make_loader(val_s, False)

@@ -62,6 +62,9 @@ class TrainerConfig:
     # sample on CPU, lib/Hodge_Dataset.py:429-439; here per batch on device)
     pe_flip_node_static: int | None = None
     pe_flip_edge_static: int | None = None
+    # collate batch k+1 on a daemon thread while step k dispatches (the
+    # reference's DataLoader num_workers analog, data/prefetch.py); 0 = off
+    prefetch: int = 2
 
 
 def _loss_for(task: str):
@@ -165,6 +168,11 @@ class Trainer:
         return out, batch_stats
 
     def _train_step_impl(self, state: TrainState, batch: ComplexBatch):
+        from hl_hgat_tpu.complex.compact import maybe_inflate
+
+        # compact batches densify on device — only COO triplets crossed the
+        # host->device link (complex/compact.py)
+        batch = maybe_inflate(batch)
         rng, step_rng = jax.random.split(state.rng)
         cfg = self.cfg
         if cfg.pe_flip_node_static is not None or cfg.pe_flip_edge_static is not None:
@@ -205,6 +213,9 @@ class Trainer:
         )
 
     def _eval_step_impl(self, state: TrainState, batch: ComplexBatch):
+        from hl_hgat_tpu.complex.compact import maybe_inflate
+
+        batch = maybe_inflate(batch)
         out, _ = self._apply(
             state.params, state.batch_stats, batch, train=False
         )
@@ -213,12 +224,20 @@ class Trainer:
         return out, self._loss_fn(out, batch)
 
     def train_epoch(self, state: TrainState, batches: Iterable[ComplexBatch]):
-        total, n = 0.0, 0
+        # Loss stays on device until epoch end: a per-step float() readback
+        # would gate every dispatch on the device (≈30 ms RTT through the
+        # tunnel) and serialize the host collate against the step — with
+        # lazy accumulation the host races ahead, overlapping collate and
+        # dispatch with device compute, and pays ONE readback per epoch.
+        total, n = None, 0
         for batch in batches:
             state, loss = self._train_step(state, batch)
-            total += float(loss) * batch.num_graphs
+            contrib = loss * batch.num_graphs
+            total = contrib if total is None else total + contrib
             n += batch.num_graphs
-        return state, total / max(n, 1)
+        if total is None:
+            return state, 0.0
+        return state, float(np.asarray(total)) / max(n, 1)
 
     def evaluate(self, state: TrainState, batches: Iterable[ComplexBatch]):
         cfg = self.cfg
@@ -295,9 +314,15 @@ class Trainer:
             state, start_epoch = self.maybe_restore(state)
             if verbose and start_epoch > 1:
                 print(f"resumed from epoch {start_epoch - 1}")
+        from hl_hgat_tpu.data.prefetch import prefetch
+
         for epoch in range(start_epoch, epochs + 1):
-            state, train_loss = self.train_epoch(state, train_batches())
-            val_loss, val_metric = self.evaluate(state, val_batches())
+            state, train_loss = self.train_epoch(
+                state, prefetch(train_batches(), cfg.prefetch)
+            )
+            val_loss, val_metric = self.evaluate(
+                state, prefetch(val_batches(), cfg.prefetch)
+            )
             lr = self.plateau.step(val_loss)
             state = dataclasses.replace(
                 state, opt_state=set_learning_rate(state.opt_state, lr)

@@ -353,3 +353,41 @@ class TestFastCollate:
             samples, node_cap=32, edge_cap=40, y_per_edge=True
         )
         self._assert_batches_equal(fast, ref)
+
+    def test_compact_inflate_matches_dense(self, rng):
+        """inflate(collate_packed_compact(...)) == collate_dense_packed(...)
+        exactly — the compact COO transfer + device scatter is lossless."""
+        import jax
+        import jax.numpy as jnp
+
+        from hl_hgat_tpu.complex.compact import inflate
+        from hl_hgat_tpu.complex.dense import collate_dense_packed
+        from hl_hgat_tpu.data.fast_collate import (
+            FlatSamples,
+            collate_packed_compact,
+        )
+
+        samples = [
+            random_simplex_sample(
+                rng, n_nodes=int(rng.integers(10, 20)), node_feat=3,
+                edge_feat=2, keig=4, num_pool=1,
+            )
+            for _ in range(23)
+        ]
+        flat = FlatSamples(samples)
+        idx = rng.permutation(23)[:16]
+        compact = collate_packed_compact(
+            flat, idx, node_cap=48, edge_cap=56, num_blocks=16,
+            level_caps=[(48, 56)],
+        )
+        dense = jax.jit(inflate)(jax.tree.map(jnp.asarray, compact))
+        ref = collate_dense_packed(
+            [samples[i] for i in idx], node_cap=48, edge_cap=56,
+            num_blocks=16, level_caps=[(48, 56)],
+        )
+        self._assert_batches_equal(dense, ref)
+        # transfer payload shrinks by >=4x on these graph sizes
+        size = lambda b: sum(  # noqa: E731
+            np.asarray(x).nbytes for x in jax.tree.leaves(b)
+        )
+        assert size(compact) * 4 < size(ref)
