@@ -136,7 +136,8 @@ def main() -> None:
         real_edges = int(np.asarray(batch.levels[0].edge_mask).sum())
     else:
         batch = synthetic_zinc_batch(
-            BATCH_GRAPHS, seed=0, keig=16, embed_ids=True
+            BATCH_GRAPHS, seed=0, keig=16, embed_ids=True,
+            with_ell=os.environ.get("BENCH_ELL", "1") == "1",
         )
         real_edges = int(np.asarray(batch.levels[0].edge_mask).sum())
     batch = jax.tree.map(jnp.asarray, batch)

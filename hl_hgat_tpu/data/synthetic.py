@@ -62,11 +62,13 @@ def synthetic_zinc_batch(
     keig: int = 16,
     num_pool: int = 0,
     embed_ids: bool = False,
+    with_ell: bool = False,
 ) -> ComplexBatch:
     """ZINC-like: ~23 heavy atoms, categorical features + eig PE.
 
     ``embed_ids=True`` puts integer atom/bond ids in column 0 for the
-    embedding-table model variant (reference main_zinc...py:120-121)."""
+    embedding-table model variant (reference main_zinc...py:120-121).
+    ``with_ell=True`` attaches ELL forms to L0/L1 (gather-SpMM fast path)."""
     rng = np.random.default_rng(seed)
     samples = []
     for _ in range(batch_size):
@@ -80,7 +82,7 @@ def synthetic_zinc_batch(
             s.x_t[:, 0] = rng.integers(0, 28, s.x_t.shape[0])
             s.x_s[:, 0] = rng.integers(0, 4, s.x_s.shape[0])
         samples.append(s)
-    return collate(samples)
+    return collate(samples, with_ell=with_ell)
 
 
 def synthetic_tsp_batch(batch_size: int = 4, *, seed: int = 0) -> ComplexBatch:

@@ -78,6 +78,12 @@ def lap_matvec(lap, x: Array) -> Array:
             from hl_hgat_tpu.ops.pallas_spmm import spmm_ell_symmetric
 
             out = spmm_ell_symmetric(lap.ell_cols, lap.ell_vals, flat)
+        elif lap.ell_cols is not None and lap.symmetric:
+            # XLA ELL gather: row gathers instead of segment-sum scatters
+            # (ops/spmm.py spmm_ell_sym; symmetric VJP is scatter-free too)
+            from hl_hgat_tpu.ops.spmm import spmm_ell_sym
+
+            out = spmm_ell_sym(lap.ell_cols, lap.ell_vals, flat)
         else:
             out = spmm_coo(lap.rows, lap.cols, lap.vals, flat, lap.shape[0])
         return out.reshape(x.shape)

@@ -97,6 +97,47 @@ def _spmm_bwd(num_rows, impl, residuals, g):
 spmm_coo.defvjp(_spmm_fwd, _spmm_bwd)
 
 
+@jax.custom_vjp
+def spmm_ell_sym(ell_cols: Array, ell_vals: Array, x: Array) -> Array:
+    """``out[r] = sum_w ell_vals[r, w] * x[ell_cols[r, w]]`` for a SYMMETRIC
+    operator in ELL [rows, width] form (padding slots carry vals == 0).
+
+    TPU-first COO alternative: a row gather is a vectorizable dense load
+    pattern, where the COO path's segment-sum lowers to serialized scatters.
+    Molecular/superpixel Laplacians have tiny max degree, so width stays
+    small and the gather reads ~width·N rows instead of scattering nnz
+    updates.  Symmetry makes the VJP the SAME gather (dx = A g), so the
+    backward pass never scatters either.
+    """
+    return _ell_apply(ell_cols, ell_vals, x)
+
+
+def _ell_apply(ell_cols, ell_vals, x):
+    gathered = x[ell_cols]  # [rows, width, F...]
+    vals = ell_vals.reshape(ell_vals.shape + (1,) * (x.ndim - 1))
+    return (
+        (gathered.astype(jnp.float32) * vals.astype(jnp.float32)).sum(axis=1)
+    ).astype(x.dtype)
+
+
+def _ell_fwd(ell_cols, ell_vals, x):
+    return _ell_apply(ell_cols, ell_vals, x), (ell_cols, ell_vals, x)
+
+
+def _ell_bwd(res, g):
+    ell_cols, ell_vals, x = res
+    dx = _ell_apply(ell_cols, ell_vals, g)  # Aᵀ = A
+    # dvals[r, w] = <g[r], x[cols[r, w]]>
+    dvals = jnp.sum(
+        g[:, None].astype(jnp.float32) * x[ell_cols].astype(jnp.float32),
+        axis=tuple(range(2, x.ndim + 1)),
+    ).astype(ell_vals.dtype)
+    return None, dvals, dx
+
+
+spmm_ell_sym.defvjp(_ell_fwd, _ell_bwd)
+
+
 def sddmm_coo(rows: Array, cols: Array, a: Array, b: Array) -> Array:
     """Sampled dense-dense matmul: ``out[i] = <a[rows[i]], b[cols[i]]>``.
 
