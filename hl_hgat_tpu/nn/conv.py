@@ -47,6 +47,19 @@ glorot_per_term = nn.initializers.variance_scaling(
 import os
 
 _fused_dense_flag = os.environ.get("HLHGAT_FUSED_DENSE", "0") == "1"
+_terms_kernel_flag = os.environ.get("HLHGAT_TERMS_KERNEL", "0") == "1"
+
+
+def use_terms_kernel(enable: bool | None = None) -> bool:
+    """Get/set whether dense-block polynomial terms are produced by the
+    VMEM-resident Pallas recurrence kernel
+    (`ops/pallas_hodge.laguerre_terms_dense`) instead of K separate XLA
+    mat-vecs.  The output GEMMs stay in XLA either way (terms remain
+    materialized, so the saved-terms backward is preserved)."""
+    global _terms_kernel_flag
+    if enable is not None:
+        _terms_kernel_flag = enable
+    return _terms_kernel_flag
 
 
 def use_fused_dense(enable: bool | None = None) -> bool:
@@ -116,7 +129,20 @@ def _apply_poly(x, lap, weights, bias, *, kind):
             (weights.shape[-1],), weights.dtype
         )
         return laguerre_dense_fused(lap, x, weights, b)
-    terms = polynomial_terms(x, lap, k, kind=kind)
+    if (
+        kind == "laguerre"
+        and use_terms_kernel()
+        and not isinstance(lap, CooMatrix)
+        and getattr(lap, "ndim", 0) == 3
+        and x.ndim == 3
+        and k > 1
+    ):
+        from hl_hgat_tpu.ops.pallas_hodge import laguerre_terms_dense
+
+        t = laguerre_terms_dense(lap, x, k)
+        terms = [t[kk] for kk in range(k)]
+    else:
+        terms = polynomial_terms(x, lap, k, kind=kind)
     # Per-term GEMMs with a shared f32 accumulator.  The row count is huge
     # (every simplex in the batch), so K separate [N, C]@[C, F] matmuls run
     # the MXU exactly as well as one [N, K·C] one — but skip materializing

@@ -263,3 +263,114 @@ def _fused_bwd(res, g):
 
 
 laguerre_dense_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Terms-only kernel: the polynomial recurrence with L resident in VMEM.
+#
+# The no-remat XLA path re-streams the SAME [S, S] Laplacian tile from HBM
+# for every one of the K−1 recurrence mat-vecs and re-reads each term tile
+# ~3× (next mat-vec + elementwise combine); the backward adjoint repeats the
+# pattern.  This kernel produces ALL K terms in one pass per (graph, c-tile)
+# program — L and the two recurrence registers stay in VMEM, each term is
+# written exactly once — and the hand-derived adjoint (linear recurrence; L
+# symmetric, dL never consumed) reads each cotangent tile exactly once.
+# Unlike `laguerre_dense_fused` it does NOT fold in the output GEMM: the
+# terms remain materialized, so XLA keeps its saved-terms backward (the
+# measured winner over recompute, benchmarks/RESULTS.md) and the MXU GEMMs
+# stay in XLA where they fuse with neighbors.
+# ---------------------------------------------------------------------------
+
+
+def _terms_fwd_kernel(l_ref, x_ref, t_ref, *, k):
+    x = x_ref[0]
+    l = l_ref[0].astype(x.dtype)
+    terms = _terms(l, x, k)
+    for kk in range(k):
+        t_ref[kk, 0] = terms[kk]
+
+
+def _terms_bwd_kernel(l_ref, dt_ref, dx_ref, *, k):
+    b_list = [dt_ref[kk, 0] for kk in range(k)]
+    l = l_ref[0].astype(b_list[0].dtype)
+    # adjoint of T_{j+1} = (−L·T_j + (2j+1)·T_j − j·T_{j−1})/(j+1), L = Lᵀ
+    for kk in range(k - 1, 1, -1):
+        jj = kk - 1
+        bt = b_list[kk]
+        lbt = _dot(l, bt, bt.dtype)
+        b_list[kk - 1] = b_list[kk - 1] + (-lbt + (2 * jj + 1) * bt) / (jj + 1)
+        b_list[kk - 2] = b_list[kk - 2] - (jj / (jj + 1)) * bt
+    dx = b_list[0]
+    if k > 1:
+        b1 = b_list[1]
+        dx = dx + b1 - _dot(l, b1, b1.dtype)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _terms_fwd_impl(l, x, k):
+    g_, s, c = x.shape
+    ct, cp = _split_c(c)
+    x_p = (
+        x if cp == c else jnp.pad(x, ((0, 0), (0, 0), (0, cp - c)))
+    )
+    n_ct = cp // ct
+    t = pl.pallas_call(
+        functools.partial(_terms_fwd_kernel, k=k),
+        out_shape=jax.ShapeDtypeStruct((k, g_, s, cp), x.dtype),
+        grid=(g_, n_ct),
+        in_specs=[
+            pl.BlockSpec((1, s, s), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, s, ct), lambda i, j: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((k, 1, s, ct), lambda i, j: (0, i, 0, j)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g_ * s * s * cp * (k - 1),
+            bytes_accessed=g_ * (s * s + s * cp + k * s * cp) * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(l, x_p)
+    return t[..., :c] if cp != c else t
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def laguerre_terms_dense(l: Array, x: Array, k: int) -> Array:
+    """All K Laguerre terms on dense blocks in one VMEM-resident pass.
+
+    l: [G, S, S] (symmetric); x: [G, S, C] → [K, G, S, C]."""
+    return _terms_fwd_impl(l, x, k)
+
+
+def _terms_vjp_fwd(l, x, k):
+    return _terms_fwd_impl(l, x, k), l
+
+
+def _terms_vjp_bwd(k, l, dt):
+    g_, s = l.shape[0], l.shape[1]
+    c = dt.shape[-1]
+    ct, cp = _split_c(c)
+    dt_p = (
+        dt if cp == c else jnp.pad(dt, ((0, 0), (0, 0), (0, 0), (0, cp - c)))
+    )
+    n_ct = cp // ct
+    dx = pl.pallas_call(
+        functools.partial(_terms_bwd_kernel, k=k),
+        out_shape=jax.ShapeDtypeStruct((g_, s, cp), dt.dtype),
+        grid=(g_, n_ct),
+        in_specs=[
+            pl.BlockSpec((1, s, s), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((k, 1, s, ct), lambda i, j: (0, i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, s, ct), lambda i, j: (i, 0, j)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g_ * s * s * cp * (k - 1),
+            bytes_accessed=g_ * (s * s + s * cp + k * s * cp) * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(l, dt_p)
+    # dL is never consumed (the Laplacian is data); zeros feed DCE
+    return jnp.zeros_like(l), (dx[:, :, :c] if cp != c else dx)
+
+
+laguerre_terms_dense.defvjp(_terms_vjp_fwd, _terms_vjp_bwd)

@@ -130,3 +130,93 @@ class TestFusedLaguerre:
 
         w2, sums = jax.lax.scan(step, w, None, length=3)
         assert np.isfinite(np.asarray(sums)).all()
+
+
+class TestTermsKernel:
+    """Terms-only recurrence kernel (laguerre_terms_dense): VMEM-resident
+    term production with a linear-adjoint backward, vs the XLA mat-vec
+    chain.  Kept as a design point (measured slower end-to-end at flagship
+    block counts, benchmarks/RESULTS.md) — correctness is pinned here."""
+
+    def test_terms_and_grads_match_xla(self):
+        import numpy as np
+
+        from hl_hgat_tpu.nn.conv import polynomial_terms
+        from hl_hgat_tpu.ops.pallas_hodge import laguerre_terms_dense
+
+        rng = np.random.default_rng(1)
+        g, s, c, k = 3, 16, 24, 6
+        a = rng.standard_normal((g, s, s)).astype(np.float32)
+        lap = jnp.asarray((a + a.transpose(0, 2, 1)) / 8.0)
+        x = jnp.asarray(rng.standard_normal((g, s, c)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((k, c, 8)).astype(np.float32))
+
+        t_kernel = laguerre_terms_dense(lap, x, k)
+        t_ref = polynomial_terms(x, lap, k)
+        for kk in range(k):
+            np.testing.assert_allclose(
+                t_kernel[kk], t_ref[kk], rtol=2e-5, atol=2e-5
+            )
+
+        def loss(fn):
+            def inner(xx):
+                t = fn(xx)
+                return jnp.sum(
+                    jnp.stack([t[kk] @ w[kk] for kk in range(k)]) ** 2
+                )
+
+            return inner
+
+        g1 = jax.grad(loss(lambda xx: laguerre_terms_dense(lap, xx, k)))(x)
+        g2 = jax.grad(loss(lambda xx: polynomial_terms(xx, lap, k)))(x)
+        np.testing.assert_allclose(g1, g2, rtol=2e-4, atol=2e-4)
+
+    def test_model_grads_match(self, rng):
+        """Full model fwd+bwd equality with the kernel routed in."""
+        import numpy as np
+
+        from hl_hgat_tpu.complex.dense import collate_dense_packed
+        from hl_hgat_tpu.data.synthetic import random_simplex_sample
+        from hl_hgat_tpu.models import BackboneConfig, HLHGCNNGraph
+        from hl_hgat_tpu.nn.conv import use_terms_kernel
+
+        samples = [
+            random_simplex_sample(
+                rng, n_nodes=int(rng.integers(10, 18)), node_feat=4,
+                edge_feat=3, keig=0,
+            )
+            for _ in range(4)
+        ]
+        batch = jax.tree.map(
+            jnp.asarray,
+            collate_dense_packed(samples, node_cap=40, edge_cap=48),
+        )
+        model = HLHGCNNGraph(
+            cfg=BackboneConfig(channels=(1, 1), filters=(8, 16), k=4,
+                               init_k=4),
+            num_classes=1,
+        )
+        grads = {}
+        try:
+            for name, enable in (("xla", False), ("kernel", True)):
+                use_terms_kernel(enable)
+                v = model.init(
+                    {"params": jax.random.key(0)}, batch, deterministic=True
+                )
+
+                def loss(p):
+                    out, _ = model.apply(
+                        {**v, "params": p}, batch, deterministic=False,
+                        mutable=["batch_stats"],
+                        rngs={"dropout": jax.random.key(1)},
+                    )
+                    return jnp.sum(out ** 2)
+
+                grads[name] = jax.grad(loss)(v["params"])
+        finally:
+            use_terms_kernel(False)
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            grads["xla"], grads["kernel"],
+        )
+        assert max(jax.tree.leaves(diffs)) < 1e-3
