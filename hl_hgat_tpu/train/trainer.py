@@ -110,6 +110,9 @@ class Trainer:
     # -- state ---------------------------------------------------------------
 
     def init_state(self, example_batch: ComplexBatch) -> TrainState:
+        from hl_hgat_tpu.complex.compact import maybe_inflate
+
+        example_batch = maybe_inflate(example_batch)
         rng = jax.random.key(self.cfg.seed)
         p_rng, d_rng, s_rng = jax.random.split(rng, 3)
         variables = self.model.init(

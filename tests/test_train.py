@@ -254,3 +254,48 @@ class TestEdgeBinaryDenseEval:
         # same params + same graphs => same per-graph F1 in every layout
         assert results["coo"] == pytest.approx(results["dense"], abs=1e-5)
         assert results["coo"] == pytest.approx(results["packed"], abs=1e-5)
+
+
+class TestCompactPipeline:
+    def test_fit_with_compact_loader(self, tmp_path):
+        """End-to-end Trainer.fit on a compact-transfer packed loader: init,
+        train epochs, evaluate — the batches cross as COO triplets and
+        densify inside the jitted steps (complex/compact.py)."""
+        import numpy as np
+
+        from hl_hgat_tpu.data.loader import BucketedLoader
+        from hl_hgat_tpu.data.synthetic import random_simplex_sample
+        from hl_hgat_tpu.models import presets
+
+        rng = np.random.default_rng(7)
+        samples = []
+        for _ in range(24):
+            s = random_simplex_sample(
+                rng, n_nodes=int(rng.integers(10, 18)), node_feat=4,
+                edge_feat=3, keig=4,
+            )
+            s.y = np.asarray([float(s.num_edges)], np.float32)
+            samples.append(s)
+        loader = BucketedLoader(
+            samples, batch_size=8, layout="dense_packed", transfer="compact",
+            node_cap=32, edge_cap=40, seed=1,
+        )
+        model, _ = presets.zinc_pyr(
+            channels=(1,), filters=(8,), k=2, keig=4, mlp_channels=(8,),
+            use_embedding=False,
+        )
+        tr = Trainer(model, TrainerConfig(task="regression", lr=1e-2))
+        first = next(iter(loader))
+        from hl_hgat_tpu.complex.compact import CompactBatch
+
+        assert isinstance(first, CompactBatch)
+        state = tr.init_state(jax.tree.map(jnp.asarray, first))
+        to_dev = lambda it: (  # noqa: E731
+            jax.tree.map(jnp.asarray, b) for b in it
+        )
+        state = tr.fit(
+            state, lambda: to_dev(loader), lambda: to_dev(loader),
+            epochs=2, verbose=False,
+        )
+        assert len(tr.history) == 2
+        assert np.isfinite(tr.history[-1]["val_loss"])
