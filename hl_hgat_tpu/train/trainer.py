@@ -243,15 +243,20 @@ class Trainer:
         return state, float(np.asarray(total)) / max(n, 1)
 
     def evaluate(self, state: TrainState, batches: Iterable[ComplexBatch]):
+        # Like train_epoch, everything stays on device until the end of the
+        # loop: per-batch float()/np.asarray() readbacks would gate every
+        # dispatch on a device round-trip (~30 ms through the tunnel) and
+        # make evaluation cost as much as the whole training epoch.
         cfg = self.cfg
-        total, n = 0.0, 0
+        total, n = None, 0
         preds, ys = [], []
         f1s = []
         accs = []
         for batch in batches:
             out, loss = self._eval_step(state, batch)
             g = batch.num_graphs
-            total += float(loss) * g
+            contrib = loss * g
+            total = contrib if total is None else total + contrib
             n += g
             if cfg.task == "edge_binary":
                 lvl = batch.level0
@@ -268,25 +273,28 @@ class Trainer:
                     o = out.reshape(-1)
                     yy = batch.y.reshape(-1)
                     m = lvl.edge_mask.reshape(-1)
-                f1s.append(
-                    float(M.per_graph_binary_f1(o, yy, seg, g, m)) * g
-                )
+                f1s.append(M.per_graph_binary_f1(o, yy, seg, g, m) * g)
             elif cfg.task == "classification":
-                accs.append(float(M.accuracy(out, batch.y.reshape(-1))) * g)
+                accs.append(M.accuracy(out, batch.y.reshape(-1)) * g)
             else:
-                preds.append(np.asarray(out))
-                ys.append(np.asarray(batch.y))
-        loss_avg = total / max(n, 1)
+                preds.append(out.reshape(-1, out.shape[-1]))
+                ys.append(jnp.asarray(batch.y).reshape(-1, out.shape[-1]))
+        loss_avg = (
+            float(np.asarray(total)) / max(n, 1) if total is not None else 0.0
+        )
         if cfg.task == "regression":
-            p = np.concatenate([x.reshape(-1) for x in preds])
-            y = np.concatenate([x.reshape(-1) for x in ys])
+            p = np.asarray(jnp.concatenate(preds).reshape(-1))
+            y = np.asarray(jnp.concatenate(ys).reshape(-1))
             metric = float(np.mean(np.abs(p - y))) * cfg.denorm
         elif cfg.task == "classification":
-            metric = sum(accs) / max(n, 1)
+            metric = float(np.asarray(sum(accs))) / max(n, 1)
         elif cfg.task == "multilabel":
-            metric = M.eval_ap(np.concatenate(ys), np.concatenate(preds))
+            metric = M.eval_ap(
+                np.asarray(jnp.concatenate(ys)),
+                np.asarray(jnp.concatenate(preds)),
+            )
         else:
-            metric = sum(f1s) / max(n, 1)
+            metric = float(np.asarray(sum(f1s))) / max(n, 1)
         return loss_avg, metric
 
     # -- fit -----------------------------------------------------------------
