@@ -49,7 +49,13 @@ def make_dp_train_step(
     """
 
     def per_device(state: TrainState, batches: ComplexBatch):
+        from hl_hgat_tpu.complex.compact import maybe_inflate
+
         batch = jax.tree.map(lambda x: x[0], batches)  # local shard: [1, ...]
+        # compact sub-batches were collated independently per device, so
+        # their COO block indices are shard-local — densify here, after the
+        # shard strip, and only the triplets crossed host->device
+        batch = maybe_inflate(batch)
         rng = jax.random.fold_in(state.rng, jax.lax.axis_index("data"))
         rng = jax.random.fold_in(rng, state.step)
 

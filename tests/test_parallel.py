@@ -319,3 +319,66 @@ class TestGraphParallel:
         shard, _ = partition_complex(rows, cols, vals, 100, 8)
         assert shard.n_local == 13
         assert shard.rows.shape[0] == 8
+
+
+class TestDpCompact:
+    def test_dp_compact_matches_dense(self, mesh8):
+        """DP step on compact sub-batches == DP step on the dense collate of
+        the same graphs (per_device inflates after the shard strip)."""
+        from hl_hgat_tpu.data.fast_collate import (
+            FlatSamples,
+            collate_packed_compact,
+            collate_packed_fast,
+        )
+        from hl_hgat_tpu.data.synthetic import random_simplex_sample
+
+        rng = np.random.default_rng(3)
+        samples = [
+            random_simplex_sample(
+                rng, n_nodes=int(rng.integers(10, 16)), node_feat=4,
+                edge_feat=3, keig=4,
+            )
+            for _ in range(32)
+        ]
+        flat = FlatSamples(samples)
+        kw = dict(node_cap=32, edge_cap=40, num_blocks=4,
+                  nnz_caps=[(512, 512, 512)])
+        compact = [
+            collate_packed_compact(flat, np.arange(i * 4, i * 4 + 4), **kw)
+            for i in range(8)
+        ]
+        dense = [
+            collate_packed_fast(
+                flat, np.arange(i * 4, i * 4 + 4),
+                node_cap=32, edge_cap=40, num_blocks=4,
+            )
+            for i in range(8)
+        ]
+        model = small_model()
+        loss_fn = lambda out, b: l1_loss(  # noqa: E731
+            out.reshape(-1), b.y.reshape(-1)
+        )
+        trainer = Trainer(
+            model, TrainerConfig(task="regression", lr=1e-2)
+        )
+        dp_step = make_dp_train_step(model, trainer.tx, loss_fn, mesh8)
+        outs = {}
+        for name, subs in (("compact", compact), ("dense", dense)):
+            # fresh state per branch: dp_step donates its (replicated) state
+            # argument, whose buffers may alias the source via device_put
+            st = replicate_state(
+                trainer.init_state(jax.tree.map(jnp.asarray, dense[0])),
+                mesh8,
+            )
+            st, loss = dp_step(
+                st, shard_batches(stack_batches(subs), mesh8)
+            )
+            outs[name] = (st, float(loss))
+        assert outs["compact"][1] == pytest.approx(outs["dense"][1], rel=1e-5)
+        for a, b in zip(
+            jax.tree.leaves(outs["compact"][0].params),
+            jax.tree.leaves(outs["dense"][0].params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+            )
