@@ -15,6 +15,9 @@ Modes compare the pipeline stages:
   * compact   — prefetch + compact COO transfer: operators densify on
                 device (complex/compact.py), ~5-15x fewer bytes per batch
                 cross the host->device link
+  * derived   — compact minus the L0/L1 triplets and degrees: only B1 +
+                per-graph 2/λmax cross the link; two batched matmuls
+                rebuild the Laplacians on device (~40% fewer bytes again)
 
     python benchmarks/epoch_bench.py [n_graphs] [batch]
 """
@@ -68,6 +71,16 @@ def main():
         samples, batch_size=batch, layout="dense_packed", seed=0,
         transfer="compact",
     )
+    loader_d = BucketedLoader(
+        samples, batch_size=batch, layout="dense_packed", seed=0,
+        transfer="derived",
+    )
+    # bf16 feature transfer is bit-identical under the bf16-compute model
+    # (loader feature_dtype docstring) — halves the dominant x_t/x_s bytes
+    loader_d16 = BucketedLoader(
+        samples, batch_size=batch, layout="dense_packed", seed=0,
+        transfer="derived", feature_dtype="bfloat16",
+    )
     model, _ = presets.zinc_pyr(compute_dtype="bfloat16")
     trainer = Trainer(
         model, TrainerConfig(task="regression", lr=1e-3, prefetch=0)
@@ -77,8 +90,11 @@ def main():
 
     def epoch(mode):
         nonlocal state
-        it = iter(loader_c if mode == "compact" else loader)
-        if mode in ("prefetch", "compact"):
+        it = iter(
+            {"compact": loader_c, "derived": loader_d,
+             "derived_bf16": loader_d16}.get(mode, loader)
+        )
+        if mode != "sync" and mode != "lazy":
             it = prefetch(it, depth=2)
         t0 = time.time()
         if mode == "sync":
@@ -95,8 +111,11 @@ def main():
 
     epoch("lazy")  # warm the compile for this shape set
     epoch("compact")
+    epoch("derived")
+    epoch("derived_bf16")
     out = {}
-    for mode in ("sync", "lazy", "prefetch", "compact"):
+    for mode in ("sync", "lazy", "prefetch", "compact", "derived",
+                 "derived_bf16"):
         out[mode] = round(min(epoch(mode) for _ in range(2)), 3)
     print(json.dumps(dict(
         metric="epoch_seconds", modes=out, n_graphs=n_graphs,

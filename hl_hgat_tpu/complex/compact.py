@@ -36,18 +36,28 @@ class CompactLevel:
     Padding entries carry block id ``>= num_blocks`` — `inflate` drops them
     via out-of-bounds scatter (mode='drop'), the same dump-bucket idiom the
     models use for segment ids.
+
+    **Derived mode** (``operators='derived'``): the L0/L1 triplets and the
+    degree vector are ``None`` and only B1 + per-graph spectral scales cross
+    the link; `inflate` reconstructs L0 = (B1·B1ᵀ)·(2/λmax) and
+    L1 = (B1ᵀ·B1)·(2/λmax) with two batched matmuls on device (the products
+    are small exact integers, so the only rounding is the final per-entry
+    ×scale — ≤1 ulp vs the host-built values, which multiply in float64
+    first; complex/build.py hodge_laplacians_coo).  ~40% fewer bytes per
+    batch on ZINC-shaped molecules.
     """
 
     # COO of the block-diagonal L0 [nnz0_cap]: block, row, col, value
-    l0_b: Array
-    l0_r: Array
-    l0_c: Array
-    l0_v: Array
-    # COO of L1 [nnz1_cap]
-    l1_b: Array
-    l1_r: Array
-    l1_c: Array
-    l1_v: Array
+    # (None in derived mode)
+    l0_b: Array | None
+    l0_r: Array | None
+    l0_c: Array | None
+    l0_v: Array | None
+    # COO of L1 [nnz1_cap] (None in derived mode)
+    l1_b: Array | None
+    l1_r: Array | None
+    l1_c: Array | None
+    l1_v: Array | None
     # boundary pairs [e_cap]: block, src row, dst row, edge col
     e_b: Array
     e_src: Array
@@ -56,9 +66,12 @@ class CompactLevel:
     # dense row metadata (small): [B, S]/[B, E]
     node_mask: Array
     edge_mask: Array
-    deg: Array
+    deg: Array | None  # None in derived mode (|B1| row-sum on device)
     n_gid: Array
     s_gid: Array
+    # per-graph 2/λmax, indexed by gid with a trailing 0 for the padding
+    # bucket: [num_graphs + 1] f32 (None outside derived mode)
+    g_scale: Array | None
     num_graphs: int
     s_pad: int
     e_pad: int
@@ -112,17 +125,33 @@ def inflate(batch: CompactBatch) -> DenseBatch:
     levels = []
     for lv in batch.levels:
         nb = lv.num_blocks
-        l0 = _scatter3(nb, lv.s_pad, lv.s_pad, lv.l0_b, lv.l0_r, lv.l0_c,
-                       lv.l0_v)
-        l1 = _scatter3(nb, lv.e_pad, lv.e_pad, lv.l1_b, lv.l1_r, lv.l1_c,
-                       lv.l1_v)
         b1 = jnp.zeros((nb, lv.s_pad, lv.e_pad), jnp.float32)
         b1 = b1.at[lv.e_b, lv.e_src, lv.e_col].set(-1.0, mode="drop")
         b1 = b1.at[lv.e_b, lv.e_dst, lv.e_col].set(1.0, mode="drop")
+        if lv.l0_v is not None:
+            l0 = _scatter3(nb, lv.s_pad, lv.s_pad, lv.l0_b, lv.l0_r, lv.l0_c,
+                           lv.l0_v)
+            l1 = _scatter3(nb, lv.e_pad, lv.e_pad, lv.l1_b, lv.l1_r, lv.l1_c,
+                           lv.l1_v)
+            deg = lv.deg
+        else:
+            # derived mode: L0/L1 from B1 on device.  The Gram products are
+            # small integers (exact even through the MXU's bf16 passes);
+            # only the ×(2/λmax) rounds.  Padding rows/cols of B1 are zero
+            # and the dump bucket's scale is 0, so padding stays zero.
+            sc_n = lv.g_scale[lv.n_gid]  # [nb, S], 0 on padding rows
+            sc_e = lv.g_scale[lv.s_gid]
+            l0 = jnp.einsum(
+                "gse,gte->gst", b1, b1, preferred_element_type=jnp.float32
+            ) * sc_n[..., None]
+            l1 = jnp.einsum(
+                "gse,gsf->gef", b1, b1, preferred_element_type=jnp.float32
+            ) * sc_e[..., None]
+            deg = jnp.sum(jnp.abs(b1), axis=2)
         levels.append(
             DenseLevel(
                 l0=l0, l1=l1, b1=b1,
-                node_mask=lv.node_mask, edge_mask=lv.edge_mask, deg=lv.deg,
+                node_mask=lv.node_mask, edge_mask=lv.edge_mask, deg=deg,
                 num_graphs=lv.num_graphs, n_gid=lv.n_gid, s_gid=lv.s_gid,
             )
         )
@@ -210,10 +239,18 @@ def compact_operators(
     ng: int,
     nnz_multiple: int = 2048,
     nnz_caps: "list[tuple[int, int, int]] | None" = None,
+    operators: str = "coo",
 ) -> tuple[list[CompactLevel], Any]:
     """COO operator arrays for a packed batch (see fast_collate for the
     placement computation).  Returns (levels, nnz_caps_used); pass
-    ``nnz_caps`` back in to pin static shapes across batches."""
+    ``nnz_caps`` back in to pin static shapes across batches.
+
+    ``operators='derived'`` ships only B1 + per-graph 2/λmax scales; L0/L1
+    and the degree vector are rebuilt on device by `inflate` (see
+    CompactLevel docstring)."""
+    if operators not in ("coo", "derived"):
+        raise ValueError(f"unknown operators mode {operators!r}")
+    derived = operators == "derived"
     levels = []
     used = []
     for lv in range(flat.depth):
@@ -235,24 +272,27 @@ def compact_operators(
         s_gid.reshape(-1)[cols_flat] = np.repeat(gid, e_sz)
 
         # operators as COO with block-local indices
-        g0 = _gather_ranges(fl.l0_off, sample_idx)
-        c0 = (fl.l0_off[sample_idx + 1] - fl.l0_off[sample_idx]).astype(
-            np.int64
-        )
-        l0_b = np.repeat(bin_of, c0)
-        no_rep = np.repeat(offs_n[lv], c0)
-        l0_r = fl.l0_rows[g0] + no_rep
-        l0_c = fl.l0_cols[g0] + no_rep
-        l0_v = fl.l0_vals[g0]
-        g1 = _gather_ranges(fl.l1_off, sample_idx)
-        c1 = (fl.l1_off[sample_idx + 1] - fl.l1_off[sample_idx]).astype(
-            np.int64
-        )
-        l1_b = np.repeat(bin_of, c1)
-        eo_rep = np.repeat(offs_e[lv], c1)
-        l1_r = fl.l1_rows[g1] + eo_rep
-        l1_c = fl.l1_cols[g1] + eo_rep
-        l1_v = fl.l1_vals[g1]
+        if derived:
+            l0_v = l1_v = np.zeros(0, np.float32)
+        else:
+            g0 = _gather_ranges(fl.l0_off, sample_idx)
+            c0 = (fl.l0_off[sample_idx + 1] - fl.l0_off[sample_idx]).astype(
+                np.int64
+            )
+            l0_b = np.repeat(bin_of, c0)
+            no_rep = np.repeat(offs_n[lv], c0)
+            l0_r = fl.l0_rows[g0] + no_rep
+            l0_c = fl.l0_cols[g0] + no_rep
+            l0_v = fl.l0_vals[g0]
+            g1 = _gather_ranges(fl.l1_off, sample_idx)
+            c1 = (fl.l1_off[sample_idx + 1] - fl.l1_off[sample_idx]).astype(
+                np.int64
+            )
+            l1_b = np.repeat(bin_of, c1)
+            eo_rep = np.repeat(offs_e[lv], c1)
+            l1_r = fl.l1_rows[g1] + eo_rep
+            l1_c = fl.l1_cols[g1] + eo_rep
+            l1_v = fl.l1_vals[g1]
         ge = _gather_ranges(fl.e_off, sample_idx)
         e_b = np.repeat(bin_of, e_sz)
         no_e = np.repeat(offs_n[lv], e_sz)
@@ -260,17 +300,22 @@ def compact_operators(
         e_dst = fl.dst[ge] + no_e
         e_col = (cols_flat - np.repeat(bin_of.astype(np.int64), e_sz) * e_pad
                  ).astype(np.int32)
-        # degree: two increments per edge
-        np.add.at(deg.reshape(-1),
-                  np.repeat(bin_of.astype(np.int64), e_sz) * s_pad + e_src, 1.0)
-        np.add.at(deg.reshape(-1),
-                  np.repeat(bin_of.astype(np.int64), e_sz) * s_pad + e_dst, 1.0)
+        if not derived:
+            # degree: two increments per edge
+            np.add.at(
+                deg.reshape(-1),
+                np.repeat(bin_of.astype(np.int64), e_sz) * s_pad + e_src, 1.0,
+            )
+            np.add.at(
+                deg.reshape(-1),
+                np.repeat(bin_of.astype(np.int64), e_sz) * s_pad + e_dst, 1.0,
+            )
 
         if nnz_caps is not None:
             cap0, cap1, cape = nnz_caps[lv]
         else:
-            cap0 = _round_cap(l0_v.size, nnz_multiple)
-            cap1 = _round_cap(l1_v.size, nnz_multiple)
+            cap0 = 0 if derived else _round_cap(l0_v.size, nnz_multiple)
+            cap1 = 0 if derived else _round_cap(l1_v.size, nnz_multiple)
             cape = _round_cap(e_col.size, nnz_multiple)
         if l0_v.size > cap0 or l1_v.size > cap1 or e_col.size > cape:
             raise ValueError(
@@ -278,16 +323,29 @@ def compact_operators(
                 f"exceeds caps ({cap0}, {cap1}, {cape})"
             )
         used.append((cap0, cap1, cape))
-        levels.append(
-            CompactLevel(
+        if derived:
+            g_scale = np.zeros(ng + 1, np.float32)
+            g_scale[gid] = (2.0 / fl.max_eig[sample_idx]).astype(np.float32)
+            op_fields = dict(
+                l0_b=None, l0_r=None, l0_c=None, l0_v=None,
+                l1_b=None, l1_r=None, l1_c=None, l1_v=None,
+                deg=None, g_scale=g_scale,
+            )
+        else:
+            op_fields = dict(
                 l0_b=_pad_i32(l0_b, cap0, nb), l0_r=_pad_i32(l0_r, cap0, 0),
                 l0_c=_pad_i32(l0_c, cap0, 0), l0_v=_pad_f32(l0_v, cap0),
                 l1_b=_pad_i32(l1_b, cap1, nb), l1_r=_pad_i32(l1_r, cap1, 0),
                 l1_c=_pad_i32(l1_c, cap1, 0), l1_v=_pad_f32(l1_v, cap1),
+                deg=deg, g_scale=None,
+            )
+        levels.append(
+            CompactLevel(
                 e_b=_pad_i32(e_b, cape, nb), e_src=_pad_i32(e_src, cape, 0),
                 e_dst=_pad_i32(e_dst, cape, 0), e_col=_pad_i32(e_col, cape, 0),
-                node_mask=nm, edge_mask=em, deg=deg, n_gid=n_gid, s_gid=s_gid,
+                node_mask=nm, edge_mask=em, n_gid=n_gid, s_gid=s_gid,
                 num_graphs=ng, s_pad=s_pad, e_pad=e_pad,
+                **op_fields,
             )
         )
     return levels, used

@@ -57,6 +57,7 @@ class _FlatLevel:
     e_off: np.ndarray  # [N+1] int64 (src/dst)
     src: np.ndarray
     dst: np.ndarray
+    max_eig: np.ndarray  # [N] float64 — λmax of the unscaled L0 per graph
 
 
 class FlatSamples:
@@ -86,6 +87,9 @@ class FlatSamples:
                     e_off=_prefix([st.src.size for st in sts]),
                     src=i32(cat([st.src for st in sts])),
                     dst=i32(cat([st.dst for st in sts])),
+                    max_eig=np.asarray(
+                        [st.max_eig for st in sts], np.float64
+                    ),
                 )
             )
         lvl0 = self.levels[0]
@@ -370,12 +374,16 @@ def collate_packed_compact(
     nnz_caps=None,
     nnz_multiple: int = 2048,
     pool_caps: list[int] | None = None,
+    operators: str = "coo",
 ):
     """Packed batch in the compact transfer format (complex/compact.py):
     same placements as `collate_packed_fast`, but operators travel as COO
     triplets and densify ON DEVICE via `inflate` (Trainer does so
     automatically).  `inflate(collate_packed_compact(...))` equals
     `collate_packed_fast(...)` exactly (tests/test_data.py).
+
+    ``operators='derived'`` ships only B1 + per-graph 2/λmax and rebuilds
+    L0/L1/deg on device (≤1 ulp vs the host values; CompactLevel docstring).
 
     Pure vectorized NumPy — no native library required.  Pin ``nnz_caps`` /
     ``pool_caps`` across batches for static jit shapes (defaults round up
@@ -400,6 +408,7 @@ def collate_packed_compact(
     levels, _ = compact_operators(
         flat, sample_idx, pl.gid, bin_of, pl.offs_n, pl.offs_e, pl.caps,
         nb, ng, nnz_multiple=nnz_multiple, nnz_caps=nnz_caps,
+        operators=operators,
     )
 
     lvl0 = flat.levels[0]

@@ -52,13 +52,22 @@ class BucketedLoader:
     # dense_packed only: "dense" ships ready dense blocks; "compact" ships
     # COO operator triplets that densify ON DEVICE at step entry
     # (complex/compact.py inflate; Trainer handles it automatically) —
-    # ~5-15x fewer host->device bytes per batch
+    # ~5-15x fewer host->device bytes per batch.  "derived" additionally
+    # drops the L0/L1 triplets and the degree vector: only B1 + per-graph
+    # 2/λmax cross the link and two batched matmuls rebuild the Laplacians
+    # on device (≤1 ulp; another ~40% fewer bytes).
     transfer: str = "dense"
+    # Feature transfer dtype.  With a bfloat16 compute_dtype model the
+    # features are cast at model entry anyway (models/backbone.py), so
+    # shipping them pre-cast halves the x_t/x_s bytes on the link with
+    # BIT-IDENTICAL results (host ml_dtypes and the device cast both round
+    # to nearest even).  Keep float32 when the model computes in float32.
+    feature_dtype: str = "float32"
 
     def __post_init__(self):
         if self.layout not in ("coo", "dense_packed"):
             raise ValueError(f"unknown layout {self.layout!r}")
-        if self.transfer not in ("dense", "compact"):
+        if self.transfer not in ("dense", "compact", "derived"):
             raise ValueError(f"unknown transfer {self.transfer!r}")
         costs = np.asarray([_sample_cost(s) for s in self.samples])
         if self.num_buckets > 1:
@@ -169,12 +178,14 @@ class BucketedLoader:
                     )
                     m = self._block_multiple
                     depth = len(self.samples[0].levels)
-                    fn = (
-                        collate_packed_compact
-                        if self.transfer == "compact"
-                        else collate_packed_fast
-                    )
-                    yield fn(
+                    kw = {}
+                    if self.transfer in ("compact", "derived"):
+                        fn = collate_packed_compact
+                        if self.transfer == "derived":
+                            kw["operators"] = "derived"
+                    else:
+                        fn = collate_packed_fast
+                    yield self._cast_features(fn(
                         self._flat,
                         idx,
                         node_cap=self.node_cap,
@@ -186,11 +197,27 @@ class BucketedLoader:
                         # level, so the level-0 caps are a safe static bound
                         level_caps=[(self.node_cap, self.edge_cap)]
                         * (depth - 1),
-                    )
+                        **kw,
+                    ))
                 else:
                     batch_samples = [self.samples[j] for j in chunk] + [
                         self._filler[b]
                     ] * n_fill
-                    yield collate(
+                    yield self._cast_features(collate(
                         batch_samples, self._pads[b], y_per_edge=self.y_per_edge
-                    )
+                    ))
+
+    def _cast_features(self, batch):
+        if self.feature_dtype == "float32":
+            return batch
+        import dataclasses
+
+        import ml_dtypes
+
+        dt = np.dtype(getattr(ml_dtypes, self.feature_dtype, None)
+                      or self.feature_dtype)
+        return dataclasses.replace(
+            batch,
+            x_t=np.asarray(batch.x_t).astype(dt),
+            x_s=np.asarray(batch.x_s).astype(dt),
+        )

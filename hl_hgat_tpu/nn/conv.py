@@ -28,10 +28,13 @@ lib/Hodge_Cheb_Conv.py:493-505).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from hl_hgat_tpu.complex.batch import CooMatrix
 from hl_hgat_tpu.ops.dispatch import lap_matvec as _dispatch_matvec
@@ -48,6 +51,43 @@ import os
 
 _fused_dense_flag = os.environ.get("HLHGAT_FUSED_DENSE", "0") == "1"
 _terms_kernel_flag = os.environ.get("HLHGAT_TERMS_KERNEL", "0") == "1"
+_adjoint_conv_flag = os.environ.get("HLHGAT_ADJOINT_CONV", "0") == "1"
+
+
+def use_adjoint_conv(enable: bool | None = None) -> bool:
+    """Get/set the symmetric-adjoint backward for the polynomial convs.
+
+    The Laplacians are symmetric, so p_k(L)ᵀ = p_k(L) and the weight/input
+    gradients can be written without the forward's polynomial terms:
+
+        dW_k = T_kᵀ g = (p_k(L) x)ᵀ g = xᵀ (p_k(L) g) = xᵀ h_k
+        dx   = Σ_k p_k(L) (g W_kᵀ)     = Σ_k h_k W_kᵀ
+
+    where h_k = p_k(L) g is the SAME recurrence run on the output cotangent.
+    Standard autodiff already runs K−1 adjoint mat-vecs through the linear
+    recurrence AND saves T_1..T_{K−1} as residuals for dW_k; this formulation
+    does the same K−1 mat-vecs (on g) but saves only x — identical FLOPs,
+    and (K−1)·N·C of saved-activation HBM residency per conv disappears.
+    Exact math: gradients match the autodiff path to float reordering
+    (tests/test_conv_adjoint.py).
+
+    **Measured on the flagship step (v5e, packed bf16, benchmarks/
+    RESULTS.md): default OFF.**  The residency cut does not translate into
+    throughput — batch 320: 1.720M vs 1.769M edges/s; 448: 1.746M vs
+    1.759M; 768: 1.331M vs 1.458M.  XLA's own backward fuses the dW GEMMs
+    with the adjoint recurrence streams, while the custom VJP re-reads x
+    per term and materializes every h_k between kernels; on a memory-bound
+    step those extra streams cost more than the saved residuals.  The same
+    lesson as the three Pallas conv kernels: at these block counts the XLA
+    autodiff pipeline is the fastest implementation available.  The path
+    stays fully tested as the memory-lever option for workloads whose
+    activations genuinely do not fit (enable via HLHGAT_ADJOINT_CONV=1 or
+    this setter).
+    """
+    global _adjoint_conv_flag
+    if enable is not None:
+        _adjoint_conv_flag = enable
+    return _adjoint_conv_flag
 
 
 def use_terms_kernel(enable: bool | None = None) -> bool:
@@ -114,6 +154,98 @@ def chebyshev_matvec(
     return _apply_poly(x, lap, weights, bias, kind="chebyshev")
 
 
+def _combine_terms(terms, weights, bias, out_dtype):
+    """sum_k T_k @ W_k (+ b) with a shared f32 accumulator.
+
+    Per-term GEMMs: the row count is huge (every simplex in the batch), so K
+    separate [N, C]@[C, F] matmuls run the MXU exactly as well as one
+    [N, K·C] one — but skip materializing the concatenated term stack in HBM
+    (a full extra copy per conv; the step is memory-bound,
+    benchmarks/RESULTS.md)."""
+    out = None
+    for kk, t in enumerate(terms):
+        part = jnp.einsum(
+            "...c,cf->...f", t, weights[kk].astype(t.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        out = part if out is None else out + part
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.astype(out_dtype)
+
+
+def _zero_cotangent(leaf):
+    """Structural zero cotangent (float0 for integer/bool leaves)."""
+    if isinstance(leaf, (jnp.ndarray, np.ndarray)) or hasattr(leaf, "dtype"):
+        if jnp.issubdtype(leaf.dtype, jnp.inexact):
+            return jnp.zeros_like(leaf)
+        return np.zeros(leaf.shape, jax.dtypes.float0)
+    return None
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _poly_adjoint(x, lap, weights, bias, kind):
+    """Polynomial filter with the symmetric-adjoint backward
+    (`use_adjoint_conv`): forward numerics identical to the default path,
+    backward recomputes h_k = p_k(L)·g from the cotangent instead of reading
+    saved terms.  The operator cotangent is structurally zero (operators are
+    data — nothing in the framework differentiates w.r.t. L)."""
+    terms = polynomial_terms(x, lap, weights.shape[0], kind=kind)
+    return _combine_terms(terms, weights, bias, x.dtype)
+
+
+def _poly_adjoint_fwd(x, lap, weights, bias, kind):
+    out = _poly_adjoint(x, lap, weights, bias, kind)
+    return out, (x, lap, weights, bias)
+
+
+def _poly_adjoint_bwd(kind, res, g):
+    x, lap, weights, bias = res
+    k = weights.shape[0]
+    # h_k = p_k(L) g — the forward recurrence applied to the cotangent
+    # (legal because L is symmetric, hence p_k(L)ᵀ = p_k(L)).
+    h = polynomial_terms(g, lap, k, kind=kind)
+    # dW_k = xᵀ h_k, contracting every leading axis; f32 accumulation.
+    dw = jnp.stack(
+        [
+            jnp.einsum(
+                "...c,...f->cf", x, hk, preferred_element_type=jnp.float32
+            )
+            for hk in h
+        ]
+    ).astype(weights.dtype)
+    dx = None
+    for kk, hk in enumerate(h):
+        part = jnp.einsum(
+            "...f,cf->...c", hk, weights[kk].astype(hk.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        dx = part if dx is None else dx + part
+    dx = dx.astype(x.dtype)
+    db = (
+        None
+        if bias is None
+        else g.astype(jnp.float32)
+        .sum(axis=tuple(range(g.ndim - 1)))
+        .astype(bias.dtype)
+    )
+    dlap = jax.tree.map(_zero_cotangent, lap)
+    return dx, dlap, dw, db
+
+
+_poly_adjoint.defvjp(_poly_adjoint_fwd, _poly_adjoint_bwd)
+
+
+def _adjoint_applicable(lap) -> bool:
+    """The adjoint backward requires a symmetric operator: dense [G, S, S]
+    blocks are L0/L1 by construction; COO operators carry a flag.  Halo
+    shards keep the standard autodiff path (their SpMM has its own
+    shard_map machinery)."""
+    if isinstance(lap, CooMatrix):
+        return bool(lap.symmetric)
+    return getattr(lap, "ndim", 0) == 3
+
+
 def _apply_poly(x, lap, weights, bias, *, kind):
     k = weights.shape[0]
     if (
@@ -141,23 +273,11 @@ def _apply_poly(x, lap, weights, bias, *, kind):
 
         t = laguerre_terms_dense(lap, x, k)
         terms = [t[kk] for kk in range(k)]
-    else:
-        terms = polynomial_terms(x, lap, k, kind=kind)
-    # Per-term GEMMs with a shared f32 accumulator.  The row count is huge
-    # (every simplex in the batch), so K separate [N, C]@[C, F] matmuls run
-    # the MXU exactly as well as one [N, K·C] one — but skip materializing
-    # the concatenated term stack in HBM (a full extra copy per conv; the
-    # step is memory-bound, benchmarks/RESULTS.md).
-    out = None
-    for kk, t in enumerate(terms):
-        part = jnp.einsum(
-            "...c,cf->...f", t, weights[kk].astype(t.dtype),
-            preferred_element_type=jnp.float32,
-        )
-        out = part if out is None else out + part
-    if bias is not None:
-        out = out + bias.astype(out.dtype)
-    return out.astype(x.dtype)
+        return _combine_terms(terms, weights, bias, x.dtype)
+    if k > 1 and use_adjoint_conv() and _adjoint_applicable(lap):
+        return _poly_adjoint(x, lap, weights, bias, kind)
+    terms = polynomial_terms(x, lap, k, kind=kind)
+    return _combine_terms(terms, weights, bias, x.dtype)
 
 
 class LaguerreConv(nn.Module):

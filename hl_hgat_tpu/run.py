@@ -48,11 +48,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pack_cap", type=int, default=128,
                    help="node/edge capacity of one packed superblock")
     p.add_argument("--transfer", default="compact",
-                   choices=["dense", "compact"],
+                   choices=["dense", "compact", "derived"],
                    help="packed-layout transfer format: compact ships COO "
                         "operator triplets and densifies on device "
                         "(complex/compact.py; measured 3.8-7.4x epoch "
-                        "speedup), dense ships ready blocks")
+                        "speedup), derived ships only B1 + spectral scales "
+                        "and rebuilds L0/L1 on device (~40%% fewer bytes "
+                        "again), dense ships ready blocks")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="activation compute dtype (accuracy gates default "
@@ -203,6 +205,9 @@ def main(argv=None) -> None:
             layout="dense_packed" if args.layout == "packed" else "coo",
             node_cap=args.pack_cap, edge_cap=args.pack_cap,
             transfer=args.transfer,
+            # bf16 compute casts features at model entry anyway — ship them
+            # pre-cast (bit-identical, half the x_t/x_s transfer bytes)
+            feature_dtype=args.dtype,
         )
         train_loader = make_loader(train_s, True)
         val_loader = make_loader(val_s, False)

@@ -391,3 +391,137 @@ class TestFastCollate:
             np.asarray(x).nbytes for x in jax.tree.leaves(b)
         )
         assert size(compact) * 4 < size(ref)
+
+    def test_derived_inflate_matches_dense(self, rng):
+        """operators='derived': only B1 + per-graph 2/λmax cross the link;
+        the device-rebuilt L0/L1 match the host-built values to ≤1 ulp (the
+        host multiplies count×scale in float64 before rounding; the device
+        multiplies two float32s — complex/compact.py CompactLevel)."""
+        import jax
+        import jax.numpy as jnp
+
+        from hl_hgat_tpu.complex.compact import inflate
+        from hl_hgat_tpu.complex.dense import collate_dense_packed
+        from hl_hgat_tpu.data.fast_collate import (
+            FlatSamples,
+            collate_packed_compact,
+        )
+
+        samples = [
+            random_simplex_sample(
+                rng, n_nodes=int(rng.integers(10, 20)), node_feat=3,
+                edge_feat=2, keig=4, num_pool=1,
+            )
+            for _ in range(23)
+        ]
+        flat = FlatSamples(samples)
+        idx = rng.permutation(23)[:16]
+        kw = dict(node_cap=48, edge_cap=56, num_blocks=16,
+                  level_caps=[(48, 56)])
+        compact = collate_packed_compact(flat, idx, operators="derived", **kw)
+        dense = jax.jit(inflate)(jax.tree.map(jnp.asarray, compact))
+        ref = collate_dense_packed([samples[i] for i in idx], **kw)
+        for lv_d, lv_r in zip(dense.levels, ref.levels):
+            np.testing.assert_array_equal(np.asarray(lv_d.b1), lv_r.b1)
+            np.testing.assert_array_equal(np.asarray(lv_d.deg), lv_r.deg)
+            np.testing.assert_array_equal(
+                np.asarray(lv_d.node_mask), lv_r.node_mask
+            )
+            np.testing.assert_array_equal(np.asarray(lv_d.n_gid), lv_r.n_gid)
+            np.testing.assert_array_equal(np.asarray(lv_d.s_gid), lv_r.s_gid)
+            # exact sparsity pattern, values to 1 ulp
+            np.testing.assert_array_equal(
+                np.asarray(lv_d.l0) != 0, lv_r.l0 != 0
+            )
+            np.testing.assert_array_equal(
+                np.asarray(lv_d.l1) != 0, lv_r.l1 != 0
+            )
+            np.testing.assert_allclose(
+                np.asarray(lv_d.l0), lv_r.l0, rtol=3e-7, atol=0
+            )
+            np.testing.assert_allclose(
+                np.asarray(lv_d.l1), lv_r.l1, rtol=3e-7, atol=0
+            )
+        for p_d, p_r in zip(dense.pools, ref.pools):
+            np.testing.assert_array_equal(np.asarray(p_d.p_t), p_r.p_t)
+            np.testing.assert_array_equal(np.asarray(p_d.p_s), p_r.p_s)
+        np.testing.assert_array_equal(np.asarray(dense.x_t), ref.x_t)
+        np.testing.assert_array_equal(np.asarray(dense.x_s), ref.x_s)
+        np.testing.assert_array_equal(np.asarray(dense.y), ref.y)
+        # derived payload is smaller still than the COO-compact transfer
+        size = lambda b: sum(  # noqa: E731
+            np.asarray(x).nbytes for x in jax.tree.leaves(b)
+        )
+        coo_compact = collate_packed_compact(flat, idx, **kw)
+        assert size(compact) < 0.75 * size(coo_compact)
+
+    def test_bf16_feature_transfer_bit_identical(self, rng):
+        """feature_dtype='bfloat16' + a bfloat16-compute model: shipping the
+        features pre-cast equals casting on device (both round-to-nearest),
+        so model outputs are bit-identical while x_t/x_s bytes halve."""
+        import jax
+        import jax.numpy as jnp
+
+        from hl_hgat_tpu.data.loader import BucketedLoader
+        from hl_hgat_tpu.models import presets
+
+        samples = []
+        for _ in range(8):
+            s = random_simplex_sample(
+                rng, n_nodes=int(rng.integers(10, 20)), node_feat=1,
+                edge_feat=1, keig=5,
+            )
+            s.x_t[:, 0] = rng.integers(0, 28, s.x_t.shape[0])
+            s.x_s[:, 0] = rng.integers(0, 4, s.x_s.shape[0])
+            samples.append(s)
+        kw = dict(batch_size=8, layout="dense_packed", transfer="derived",
+                  node_cap=64, edge_cap=64, shuffle=False)
+        b32 = next(iter(BucketedLoader(samples, **kw)))
+        b16 = next(iter(BucketedLoader(
+            samples, feature_dtype="bfloat16", **kw
+        )))
+        assert np.asarray(b16.x_t).nbytes * 2 == np.asarray(b32.x_t).nbytes
+        model, _ = presets.zinc_pyr(
+            channels=(1,), filters=(8,), k=3, keig=4, mlp_channels=(8,),
+            compute_dtype="bfloat16",
+        )
+        from hl_hgat_tpu.complex.compact import inflate
+
+        b32 = jax.jit(inflate)(jax.tree.map(jnp.asarray, b32))
+        b16 = jax.jit(inflate)(jax.tree.map(jnp.asarray, b16))
+        params = model.init(jax.random.key(0), b32, deterministic=True)
+        out32 = model.apply(params, b32, deterministic=True)
+        out16 = model.apply(params, b16, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(out32), np.asarray(out16))
+
+    def test_derived_loader_trainer_roundtrip(self, rng):
+        """BucketedLoader(transfer='derived') batches train end-to-end."""
+        import jax
+        import jax.numpy as jnp
+
+        from hl_hgat_tpu.data.loader import BucketedLoader
+        from hl_hgat_tpu.models import presets
+        from hl_hgat_tpu.train import Trainer, TrainerConfig
+
+        samples = []
+        for _ in range(12):
+            s = random_simplex_sample(
+                rng, n_nodes=int(rng.integers(10, 20)), node_feat=1,
+                edge_feat=1, keig=5,
+            )
+            s.x_t[:, 0] = rng.integers(0, 28, s.x_t.shape[0])
+            s.x_s[:, 0] = rng.integers(0, 4, s.x_s.shape[0])
+            samples.append(s)
+        loader = BucketedLoader(
+            samples, batch_size=6, layout="dense_packed",
+            transfer="derived", node_cap=64, edge_cap=64, shuffle=False,
+        )
+        model, _ = presets.zinc_pyr(
+            channels=(1,), filters=(8,), k=3, keig=4, mlp_channels=(8,),
+        )
+        trainer = Trainer(model, TrainerConfig(task="regression", lr=1e-3))
+        batches = [jax.tree.map(jnp.asarray, b) for b in loader]
+        state = trainer.init_state(batches[0])
+        for b in batches:
+            state, loss = trainer._train_step_impl(state, b)
+        assert np.isfinite(float(loss))
