@@ -1,0 +1,178 @@
+"""Real-data ingestion for the training CLI (`hl_hgat_tpu.run --data_root`).
+
+The reference trains from PyG dataset directories (e.g. ZINC pickles,
+GNNBenchmark superpixel archives, LRGB zips — reference
+main_zinc...py:216-218, lib/LRGBDataset.py).  This environment has no egress,
+so nothing downloads here; `load_samples` accepts, in order of preference:
+
+1. **npz cache** — a directory of ``{benchmark}-{split}_{i}.npz`` files in
+   the `CachedDataset` layout (one compressed file per preprocessed
+   `GraphSample`, mirroring the reference's one-``.pt``-per-sample store,
+   reference lib/Hodge_Dataset.py:476).  This is what a preprocessing run
+   writes and the fastest way to start training.
+2. **raw public formats** —
+   * ZINC: ``{split}.pickle`` (+ optional ``{split}.index`` for the 12k
+     subset), the format PyG's ZINC dataset downloads: a list of dicts with
+     torch tensors ``atom_type`` [n], ``bond_type`` [n, n] dense, and
+     ``logP_SA_cycle_normalized`` scalar.
+   * peptides-func / LRGB: the released pickles/pts under
+     ``<root>/<name>/raw`` (`hl_hgat_tpu.data.lrgb` parsers + URL registry).
+   * TSP / CIFAR10-SP: numpy-dict pickles ``{benchmark}_{split}.pkl``
+     exported from a PyG environment with `scripts/export_reference_data.py`
+     (the GNNBenchmark processed ``.pt`` files need torch_geometric classes
+     to unpickle, so they cannot be read here directly).
+
+   Parsed samples are written back into the npz cache (``cache=True``) so
+   preprocessing runs once.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+
+import numpy as np
+
+from hl_hgat_tpu.complex.build import GraphSample
+from hl_hgat_tpu.data.datasets import (
+    CachedDataset,
+    cifar10sp_sample,
+    tsp_sample,
+    zinc_sample,
+)
+
+SPLITS = ("train", "val", "test")
+
+
+def _cache_name(benchmark: str, split: str) -> str:
+    return f"{benchmark}-{split}"
+
+
+def cache_size(root: str, benchmark: str, split: str) -> int:
+    return len(
+        glob.glob(os.path.join(root, f"{_cache_name(benchmark, split)}_*.npz"))
+    )
+
+
+def _load_cache(root: str, benchmark: str, split: str) -> list[GraphSample]:
+    ds = CachedDataset(root=root, name=_cache_name(benchmark, split))
+    n = cache_size(root, benchmark, split)
+    return [ds.load(i) for i in range(n)]
+
+
+def _save_cache(
+    root: str, benchmark: str, split: str, samples: list[GraphSample]
+) -> None:
+    ds = CachedDataset(root=root, name=_cache_name(benchmark, split))
+    for i, s in enumerate(samples):
+        ds.save(i, s)
+
+
+def _to_np(t):
+    """torch tensor / array-like → numpy (tolerates plain arrays)."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def iter_zinc_raw(root: str, split: str, *, subset: bool = True):
+    """Parse PyG-format ZINC raw pickles (reference main_zinc...py:216-218
+    trains on the 12k subset selected by the ``.index`` files)."""
+    path = os.path.join(root, f"{split}.pickle")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"missing ZINC raw pickle {path}")
+    with open(path, "rb") as f:
+        mols = pickle.load(f)
+    idx_path = os.path.join(root, f"{split}.index")
+    if subset and os.path.exists(idx_path):
+        with open(idx_path) as f:
+            indices = [int(tok) for tok in f.read().strip().split(",") if tok]
+    else:
+        indices = range(len(mols))
+    for i in indices:
+        mol = mols[i]
+        atom_type = _to_np(mol["atom_type"]).astype(np.int64)
+        adj = _to_np(mol["bond_type"])
+        src, dst = np.nonzero(adj)
+        edge_index = np.stack([src, dst]).astype(np.int64)
+        edge_attr = adj[src, dst].astype(np.float32)
+        y = float(_to_np(mol["logP_SA_cycle_normalized"]).reshape(-1)[0])
+        yield edge_index, edge_attr, atom_type, y
+
+
+def _exported_pkl(root: str, benchmark: str, split: str) -> list[dict]:
+    path = os.path.join(root, f"{benchmark}_{split}.pkl")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"missing {path}; export it from a PyG environment with "
+            f"scripts/export_reference_data.py (numpy-dict pickle per split)"
+        )
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def load_samples(
+    benchmark: str,
+    root: str,
+    split: str = "train",
+    *,
+    keig: int = 100,
+    cache: bool = True,
+    limit: int | None = None,
+    seed: int = 0,
+    num_pool: int = 0,
+) -> list[GraphSample]:
+    """GraphSamples for one benchmark split from ``root`` (docstring above).
+
+    ``limit`` truncates after parsing (smoke runs); augmentation-bearing
+    datasets (TSP node dropout, CIFAR10-SP edge dropout + PE flips) apply
+    their load-time augs when the loader rebuilds batches each epoch, not
+    here — cached arrays are the deterministic preprocessed form.
+    """
+    if cache_size(root, benchmark, split):
+        samples = _load_cache(root, benchmark, split)
+        return samples[:limit] if limit else samples
+
+    rng = np.random.default_rng(seed)
+    if benchmark == "zinc":
+        samples = [
+            zinc_sample(ei, ea, at, y, keig=keig, embed_ids=True)
+            for ei, ea, at, y in iter_zinc_raw(root, split)
+        ]
+    elif benchmark == "pepfunc":
+        from hl_hgat_tpu.data.lrgb import iter_peptides_func
+
+        samples = list(iter_peptides_func(root, split, keig=keig))
+        if num_pool:
+            # the attpool model needs the MLGC pyramid (the reference builds
+            # it at load time, lib/Hodge_Dataset.py:633-637; here it is
+            # precomputed once and cached)
+            from hl_hgat_tpu.complex.coarsen import build_pyramid
+
+            for s in samples:
+                s.levels, s.pools = build_pyramid(s.levels, num_pool)
+    elif benchmark == "tsp":
+        samples = [
+            tsp_sample(
+                np.asarray(g["edge_index"]), np.asarray(g["edge_attr"]),
+                np.asarray(g["pos"]), np.asarray(g["y"]), keig=keig,
+                rng=None,
+            )
+            for g in _exported_pkl(root, benchmark, split)
+        ]
+    elif benchmark == "cifar10sp":
+        samples = [
+            cifar10sp_sample(
+                np.asarray(g["edge_index"]), np.asarray(g["edge_attr"]),
+                np.asarray(g["x"]), np.asarray(g["pos"]),
+                int(np.asarray(g["y"]).reshape(-1)[0]),
+                keig=keig, num_pool=num_pool, rng=rng,
+            )
+            for g in _exported_pkl(root, benchmark, split)
+        ]
+    else:
+        raise ValueError(f"unknown benchmark {benchmark!r}")
+    if cache:
+        _save_cache(root, benchmark, split, samples)
+    return samples[:limit] if limit else samples

@@ -190,14 +190,27 @@ def main(argv=None) -> None:
 
         if args.synthetic or args.data_root is None:
             samples = synthetic_samples(args, seed=fold)
+            n_val = max(len(samples) // 10, 1)
+            train_s, val_s = samples[n_val:], samples[:n_val]
         else:
-            raise SystemExit(
-                "real-data ingestion: preprocess with "
-                "hl_hgat_tpu.data.datasets into GraphSamples and point "
-                "--data_root at the npz cache (see CachedDataset)"
+            # npz cache / raw public formats (hl_hgat_tpu/data/ingest.py);
+            # official train/val splits when the files provide them
+            from hl_hgat_tpu.data.ingest import load_samples
+
+            kw = dict(
+                root=args.data_root,
+                keig=(args.keig or 15) + 1 if args.benchmark == "zinc"
+                else (10 if args.benchmark == "cifar10sp" else 100),
+                num_pool=1 if args.benchmark in ("pepfunc", "cifar10sp")
+                else 0,
+                seed=fold,
             )
-        n_val = max(len(samples) // 10, 1)
-        train_s, val_s = samples[n_val:], samples[:n_val]
+            train_s = load_samples(args.benchmark, split="train", **kw)
+            try:
+                val_s = load_samples(args.benchmark, split="val", **kw)
+            except FileNotFoundError:
+                n_val = max(len(train_s) // 10, 1)
+                train_s, val_s = train_s[n_val:], train_s[:n_val]
         y_per_edge = settings["task"] == "edge_binary"
         make_loader = lambda ss, sh: BucketedLoader(  # noqa: E731
             ss, batch_size=args.batch_size, shuffle=sh, y_per_edge=y_per_edge,
