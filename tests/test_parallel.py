@@ -322,9 +322,12 @@ class TestGraphParallel:
 
 
 class TestDpCompact:
-    def test_dp_compact_matches_dense(self, mesh8):
+    @pytest.mark.parametrize("operators", ["coo", "derived"])
+    def test_dp_compact_matches_dense(self, mesh8, operators):
         """DP step on compact sub-batches == DP step on the dense collate of
-        the same graphs (per_device inflates after the shard strip)."""
+        the same graphs (per_device inflates after the shard strip).  The
+        derived mode rebuilds L0/L1/deg from B1 on device inside the
+        shard_map (None operator leaves must flow through stack/shard)."""
         from hl_hgat_tpu.data.fast_collate import (
             FlatSamples,
             collate_packed_compact,
@@ -342,18 +345,37 @@ class TestDpCompact:
         ]
         flat = FlatSamples(samples)
         kw = dict(node_cap=32, edge_cap=40, num_blocks=4,
-                  nnz_caps=[(512, 512, 512)])
+                  nnz_caps=[(512, 512, 512)]
+                  if operators == "coo" else [(0, 0, 512)],
+                  operators=operators)
         compact = [
             collate_packed_compact(flat, np.arange(i * 4, i * 4 + 4), **kw)
             for i in range(8)
         ]
-        dense = [
-            collate_packed_fast(
-                flat, np.arange(i * 4, i * 4 + 4),
-                node_cap=32, edge_cap=40, num_blocks=4,
-            )
-            for i in range(8)
-        ]
+        if operators == "derived":
+            # the derived Laplacians differ from the host-built ones by
+            # ≤1 ulp (complex/compact.py), and Adam's first step is
+            # sign-like — it amplifies ulp-level grad noise into visible
+            # param deltas.  The DP invariant under test is: the sharded
+            # step on derived batches == the same step on their densified
+            # form — so densify the SAME batches for the reference.
+            from hl_hgat_tpu.complex.compact import inflate
+
+            dense = [
+                jax.tree.map(
+                    np.asarray,
+                    jax.jit(inflate)(jax.tree.map(jnp.asarray, c)),
+                )
+                for c in compact
+            ]
+        else:
+            dense = [
+                collate_packed_fast(
+                    flat, np.arange(i * 4, i * 4 + 4),
+                    node_cap=32, edge_cap=40, num_blocks=4,
+                )
+                for i in range(8)
+            ]
         model = small_model()
         loss_fn = lambda out, b: l1_loss(  # noqa: E731
             out.reshape(-1), b.y.reshape(-1)
