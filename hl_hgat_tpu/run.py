@@ -205,12 +205,23 @@ def main(argv=None) -> None:
                 else 0,
                 seed=fold,
             )
-            train_s = load_samples(args.benchmark, split="train", **kw)
-            try:
-                val_s = load_samples(args.benchmark, split="val", **kw)
-            except FileNotFoundError:
-                n_val = max(len(train_s) // 10, 1)
-                train_s, val_s = train_s[n_val:], train_s[:n_val]
+            if args.test:
+                # evaluate the saved best checkpoint on the test split
+                # (reference --test path, main_cifar10SP...py:196-199)
+                try:
+                    train_s = load_samples(
+                        args.benchmark, split="test", **kw
+                    )
+                except FileNotFoundError:
+                    train_s = load_samples(args.benchmark, split="val", **kw)
+                val_s = train_s
+            else:
+                train_s = load_samples(args.benchmark, split="train", **kw)
+                try:
+                    val_s = load_samples(args.benchmark, split="val", **kw)
+                except FileNotFoundError:
+                    n_val = max(len(train_s) // 10, 1)
+                    train_s, val_s = train_s[n_val:], train_s[:n_val]
         y_per_edge = settings["task"] == "edge_binary"
         make_loader = lambda ss, sh: BucketedLoader(  # noqa: E731
             ss, batch_size=args.batch_size, shuffle=sh, y_per_edge=y_per_edge,
@@ -228,6 +239,13 @@ def main(argv=None) -> None:
         state = trainer.init_state(
             jax.tree.map(jnp.asarray, next(iter(train_loader)))
         )
+        if args.test:
+            state, _ = trainer.maybe_restore(state)
+            loss, metric = trainer.evaluate(state, to_dev(val_loader))
+            print(
+                f"Fold {fold} test loss={loss:.4f} metric={metric:.4f}"
+            )
+            continue
         state = trainer.fit(
             state,
             lambda: to_dev(train_loader),
