@@ -129,8 +129,11 @@ def main(argv=None) -> None:
     opt_state = tx.init(params)
 
     def batches(split):
-        for i in range(0, len(split) - args.batch_size + 1, args.batch_size):
-            yield dev(collate(split[i : i + args.batch_size], multiple=1))
+        # clamp to the split size so small splits (e.g. the validation
+        # quarter at the default --subjects) still yield one batch
+        bs = min(args.batch_size, len(split))
+        for i in range(0, len(split) - bs + 1, bs):
+            yield dev(collate(split[i : i + bs], multiple=1))
 
     @jax.jit
     def train_step(params, bstats, opt_state, batch, key):
