@@ -156,7 +156,18 @@ def main() -> None:
 
         return jax.lax.scan(body, state, None, length=STEPS_PER_CALL)
 
-    multi_step = jax.jit(multi_step, donate_argnums=(0,))
+    # Optional remote-compiler options (client-side XLA_FLAGS cannot carry
+    # TPU flags through the tunneled backend, but per-jit compiler_options
+    # ride the PJRT compile request), e.g.
+    #   BENCH_XLA_OPT="xla_tpu_scoped_vmem_limit_kib=65536"
+    opts = None
+    if os.environ.get("BENCH_XLA_OPT"):
+        opts = dict(
+            kv.split("=", 1) for kv in os.environ["BENCH_XLA_OPT"].split(",")
+        )
+    multi_step = jax.jit(
+        multi_step, donate_argnums=(0,), compiler_options=opts
+    )
 
     # Synchronization: on the tunneled TPU backend `jax.block_until_ready`
     # returns before execution finishes (measured: a 10-step scan "blocks"
