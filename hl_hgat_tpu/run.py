@@ -47,6 +47,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "superblocks (MXU fast path, pyramids included)")
     p.add_argument("--pack_cap", type=int, default=128,
                    help="node/edge capacity of one packed superblock")
+    p.add_argument("--edge_cap", type=int, default=0,
+                   help="edge capacity override for packed superblocks "
+                        "(0 = same as --pack_cap; superpixel/TSP graphs "
+                        "carry ~3-10x more edges than nodes)")
     p.add_argument("--transfer", default="compact",
                    choices=["dense", "compact", "derived"],
                    help="packed-layout transfer format: compact ships COO "
@@ -227,7 +231,8 @@ def main(argv=None) -> None:
             ss, batch_size=args.batch_size, shuffle=sh, y_per_edge=y_per_edge,
             seed=fold,
             layout="dense_packed" if args.layout == "packed" else "coo",
-            node_cap=args.pack_cap, edge_cap=args.pack_cap,
+            node_cap=args.pack_cap,
+            edge_cap=args.edge_cap or args.pack_cap,
             transfer=args.transfer,
             # bf16 compute casts features at model entry anyway — ship them
             # pre-cast (bit-identical, half the x_t/x_s transfer bytes)
