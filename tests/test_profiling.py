@@ -1,0 +1,35 @@
+"""Profiling / sanitizer utilities (utils/profiling.py — SURVEY §5 aux)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hl_hgat_tpu.utils import profiling
+
+
+class TestProfiling:
+    def test_step_timer_counts(self):
+        t = profiling.StepTimer(edges_per_step=100)
+        for _ in range(3):
+            with t:
+                pass
+        assert t.summary()["steps"] == 3
+        assert t.edges_per_sec > 0
+
+    def test_device_barrier_forces_completion(self):
+        x = jnp.ones((8, 8))
+        y = jax.jit(lambda a: a @ a)(x)
+        profiling.device_barrier(y)  # must not raise; readback-gated
+        assert np.asarray(y)[0, 0] == 8
+
+    def test_nan_checks_toggle(self):
+        profiling.enable_nan_checks(True)
+        with pytest.raises(FloatingPointError):
+            jnp.asarray(
+                jax.jit(lambda a: a / a)(jnp.zeros(2))
+            ).block_until_ready()
+            # CPU backend raises on the NaN product under jax_debug_nans
+        profiling.enable_nan_checks(False)
+        out = jax.jit(lambda a: a / a)(jnp.zeros(2))
+        assert np.isnan(np.asarray(out)).all()
