@@ -51,14 +51,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="edge capacity override for packed superblocks "
                         "(0 = same as --pack_cap; superpixel/TSP graphs "
                         "carry ~3-10x more edges than nodes)")
-    p.add_argument("--transfer", default="compact",
+    p.add_argument("--transfer", default="derived",
                    choices=["dense", "compact", "derived"],
-                   help="packed-layout transfer format: compact ships COO "
-                        "operator triplets and densifies on device "
-                        "(complex/compact.py; measured 3.8-7.4x epoch "
-                        "speedup), derived ships only B1 + spectral scales "
-                        "and rebuilds L0/L1 on device (~40%% fewer bytes "
-                        "again), dense ships ready blocks")
+                   help="packed-layout transfer format (benchmarks/"
+                        "RESULTS.md): derived (default) ships only B1 + "
+                        "spectral scales and rebuilds L0/L1/deg on device "
+                        "(fastest epochs; ≤1 ulp vs host operators), "
+                        "compact ships COO operator triplets, dense ships "
+                        "ready blocks")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="activation compute dtype (accuracy gates default "
