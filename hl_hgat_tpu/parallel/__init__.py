@@ -23,8 +23,10 @@ from hl_hgat_tpu.parallel.graph_parallel import (
     sharded_spmm,
 )
 from hl_hgat_tpu.parallel.gp_model import build_gp_batch
+from hl_hgat_tpu.parallel.dp_trainer import DataParallelTrainer
 
 __all__ = [
+    "DataParallelTrainer",
     "build_gp_batch",
     "make_mesh",
     "stack_batches",
