@@ -70,6 +70,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["layer", "block", "never"],
                    help="dense-concat stack materialization granularity "
                         "(models/backbone.py)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel devices: >1 trains through the "
+                        "sharded mesh step (parallel/dp_trainer.py); "
+                        "--batch_size is per device")
     p.add_argument("--fused", type=int, default=0,
                    help="route dense-layout Laguerre convs through the "
                         "fused Pallas kernel (benchmarks/RESULTS.md)")
@@ -190,7 +194,15 @@ def main(argv=None) -> None:
             ),
             seed=fold,
         )
-        trainer = Trainer(model, cfg)
+        if args.dp > 1:
+            from hl_hgat_tpu.parallel import DataParallelTrainer
+            from hl_hgat_tpu.parallel.mesh import make_mesh
+
+            trainer = DataParallelTrainer(
+                model, cfg, make_mesh(data=args.dp)
+            )
+        else:
+            trainer = Trainer(model, cfg)
 
         if args.synthetic or args.data_root is None:
             samples = synthetic_samples(args, seed=fold)
