@@ -455,6 +455,41 @@ class TestFastCollate:
         coo_compact = collate_packed_compact(flat, idx, **kw)
         assert size(compact) < 0.75 * size(coo_compact)
 
+    def test_derived_attpool_pyramid_trains(self, rng):
+        """Derived transfer with an MLGC pyramid through the attpool model:
+        CompactPool triplets + derived coarse-level operators inflate under
+        jit inside the train step."""
+        import jax
+        import jax.numpy as jnp
+
+        from hl_hgat_tpu.data.loader import BucketedLoader
+        from hl_hgat_tpu.models import presets
+        from hl_hgat_tpu.train import Trainer, TrainerConfig
+
+        samples = []
+        for _ in range(8):
+            s = random_simplex_sample(
+                rng, n_nodes=int(rng.integers(12, 20)), node_feat=9,
+                edge_feat=3, keig=6, num_pool=1,
+            )
+            s.y = np.asarray([int(abs(s.y[0]) * 7) % 10], np.float32)
+            samples.append(s)
+        loader = BucketedLoader(
+            samples, batch_size=4, layout="dense_packed",
+            transfer="derived", node_cap=64, edge_cap=64, shuffle=False,
+        )
+        model, _ = presets.cifar10sp_attpool(
+            channels=(1, 1), filters=(8, 16), k=2, mlp_channels=(8,),
+        )
+        trainer = Trainer(
+            model, TrainerConfig(task="classification", lr=1e-3)
+        )
+        batches = [jax.tree.map(jnp.asarray, b) for b in loader]
+        state = trainer.init_state(batches[0])
+        for b in batches:
+            state, loss = trainer._train_step_impl(state, b)
+        assert np.isfinite(float(loss))
+
     def test_bf16_feature_transfer_bit_identical(self, rng):
         """feature_dtype='bfloat16' + a bfloat16-compute model: shipping the
         features pre-cast equals casting on device (both round-to-nearest),
