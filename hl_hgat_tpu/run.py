@@ -38,6 +38,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--folds", type=int, default=5)
     p.add_argument("--fold", type=int, default=-1)
     p.add_argument("--test", type=int, default=0)
+    p.add_argument("--resume", type=int, default=0,
+                   help="resume the fold from its latest checkpoint "
+                        "(full state: params, optimizer, scheduler, PRNG; "
+                        "the reference's --finetune analog with true "
+                        "resume semantics)")
     p.add_argument("--data_root", default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--n_synthetic", type=int, default=512)
@@ -268,6 +273,7 @@ def main(argv=None) -> None:
             lambda: to_dev(train_loader),
             lambda: to_dev(val_loader),
             epochs=args.epochs,
+            resume=bool(args.resume),
         )
         print(f"Fold {fold} best metric: {trainer.best_metric:.4f}")
 

@@ -65,6 +65,11 @@ class TrainerConfig:
     # collate batch k+1 on a daemon thread while step k dispatches (the
     # reference's DataLoader num_workers analog, data/prefetch.py); 0 = off
     prefetch: int = 2
+    # failure recovery: ALSO save the full state every N epochs (to
+    # <ckpt_dir>/latest) regardless of metric improvement, so a crashed run
+    # resumes from its last epoch rather than its last improvement
+    # (SURVEY.md §5 failure-detection plan); 0 = off
+    ckpt_every: int = 0
 
 
 def _loss_for(task: str):
@@ -144,14 +149,27 @@ class Trainer:
         )
         import os
 
-        if not (
-            os.path.exists(os.path.join(cfg.ckpt_dir, "state.npz"))
-            or os.path.exists(os.path.join(cfg.ckpt_dir, "state"))
-        ):
+        def has_ckpt(d):
+            return os.path.exists(os.path.join(d, "state.npz")) or (
+                os.path.exists(os.path.join(d, "state"))
+            )
+
+        # prefer whichever of best-so-far / periodic-latest is newer
+        candidates = [
+            d
+            for d in (cfg.ckpt_dir, os.path.join(cfg.ckpt_dir, "latest"))
+            if has_ckpt(d)
+        ]
+        if not candidates:
             return state, 1
-        restored = restore_checkpoint(cfg.ckpt_dir, state)
-        meta = load_metadata(cfg.ckpt_dir)
-        if "metric" in meta:
+        chosen = max(
+            candidates, key=lambda d: int(load_metadata(d).get("epoch", 0))
+        )
+        restored = restore_checkpoint(chosen, state)
+        meta = load_metadata(chosen)
+        if "best_metric" in meta:
+            self.best_metric = meta["best_metric"]
+        elif "metric" in meta:
             self.best_metric = meta["metric"]
         if "lr" in meta:
             self.plateau.lr = meta["lr"]
@@ -349,6 +367,18 @@ class Trainer:
                     save_checkpoint(cfg.ckpt_dir, state, extra=dict(
                         epoch=epoch, metric=val_metric, lr=lr,
                     ))
+            if cfg.ckpt_every and cfg.ckpt_dir and (
+                epoch % cfg.ckpt_every == 0
+            ):
+                import os as _os
+
+                from hl_hgat_tpu.train.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    _os.path.join(cfg.ckpt_dir, "latest"), state,
+                    extra=dict(epoch=epoch, metric=val_metric, lr=lr,
+                               best_metric=self.best_metric),
+                )
             rec = dict(
                 epoch=epoch, time=time.time() - start, train_loss=train_loss,
                 val_loss=val_loss, val_metric=val_metric, lr=lr,

@@ -184,6 +184,37 @@ class TestEndToEnd:
         assert start == saved_epochs[-1] + 1
         assert t2.best_metric == t1.best_metric
 
+    def test_periodic_checkpoint_resumes_without_improvement(self, tmp_path):
+        """ckpt_every saves the FULL state each N epochs to <dir>/latest —
+        a crashed run resumes from its last epoch even when the metric gate
+        never fired (SURVEY §5 failure-recovery plan)."""
+        from hl_hgat_tpu.data import synthetic_zinc_batch
+        from hl_hgat_tpu.models import BackboneConfig, HLHGCNNGraph
+
+        batches = [
+            jax.tree.map(jnp.asarray, synthetic_zinc_batch(4, seed=s, keig=8))
+            for s in range(2)
+        ]
+        model = HLHGCNNGraph(
+            cfg=BackboneConfig(channels=(1,), filters=(8,), k=2, init_k=2),
+            num_classes=1,
+        )
+        cfg = TrainerConfig(
+            task="regression", ckpt_dir=str(tmp_path / "ck"),
+            save_gate=-1.0, metric_mode="min",  # impossible gate: no best
+            ckpt_every=2,
+        )
+        t1 = Trainer(model, cfg)
+        state = t1.init_state(batches[0])
+        t1.fit(state, lambda: batches[:1], lambda: batches[1:], epochs=4,
+               verbose=False)
+        assert not any(h["improved"] for h in t1.history)
+
+        t2 = Trainer(model, cfg)
+        restored, start = t2.maybe_restore(t2.init_state(batches[0]))
+        assert start == 5  # epoch 4 periodic save is the newest
+        assert int(np.asarray(restored.step)) == 4
+
     def test_checkpoint_roundtrip(self, tmp_path):
         from hl_hgat_tpu.data import synthetic_zinc_batch
         from hl_hgat_tpu.models import presets
