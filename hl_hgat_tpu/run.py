@@ -38,6 +38,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--folds", type=int, default=5)
     p.add_argument("--fold", type=int, default=-1)
     p.add_argument("--test", type=int, default=0)
+    p.add_argument("--ckpt_every", type=int, default=0,
+                   help="also save full state every N epochs to "
+                        "<ckpt_dir>/latest (crash recovery; 0 = off)")
     p.add_argument("--resume", type=int, default=0,
                    help="resume the fold from its latest checkpoint "
                         "(full state: params, optimizer, scheduler, PRNG; "
@@ -197,6 +200,7 @@ def main(argv=None) -> None:
             ckpt_dir=os.path.join(
                 args.save_dir, f"{args.benchmark}_fold{fold}"
             ),
+            ckpt_every=args.ckpt_every,
             seed=fold,
         )
         if args.dp > 1:
