@@ -1,0 +1,134 @@
+"""Batch inference / serving on trained models.
+
+The reference has no inference entry point beyond its test() loops (e.g.
+reference main_zinc...py:165-180); production use needs one: load a trained
+checkpoint, compile the forward once per static batch shape, and stream
+samples through with padding stripped and input order preserved.
+
+    predictor = Predictor.from_checkpoint(model, ckpt_dir, samples[:1])
+    preds = predictor(samples)            # graph task: [N, ...] array
+    edge_preds = predictor(samples)       # edge task: list of [e_i] arrays
+
+Uses the packed MXU layout + derived transfer (the training fast path);
+batches are deterministic (no shuffle, no dropout, BN in inference mode),
+and short final batches are filler-padded then stripped, so outputs align
+1:1 with the input samples.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hl_hgat_tpu.complex.build import GraphSample
+from hl_hgat_tpu.complex.compact import maybe_inflate
+from hl_hgat_tpu.data.loader import BucketedLoader
+
+
+class Predictor:
+    """Jitted deterministic forward over padded batches.
+
+    ``edge_level=True`` returns one unpadded array per input graph (TSP-style
+    per-edge outputs); otherwise one leading-axis row per graph.
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        *,
+        batch_size: int = 64,
+        edge_level: bool = False,
+        node_cap: int = 128,
+        edge_cap: int = 0,
+        transfer: str = "derived",
+    ):
+        self.model = model
+        self.variables = variables
+        self.batch_size = batch_size
+        self.edge_level = edge_level
+        self.node_cap = node_cap
+        self.edge_cap = edge_cap or node_cap
+        self.transfer = transfer
+
+        def forward(variables, batch):
+            batch = maybe_inflate(batch)
+            out = model.apply(variables, batch, deterministic=True)
+            return out[0] if isinstance(out, tuple) else out
+
+        self._forward = jax.jit(forward)
+
+    @classmethod
+    def from_checkpoint(
+        cls, model, ckpt_dir: str, example_samples: Sequence[GraphSample],
+        **kw,
+    ) -> "Predictor":
+        """Initialize variable shapes from example samples, then restore."""
+        from hl_hgat_tpu.train.checkpoint import restore_checkpoint
+        from hl_hgat_tpu.train.trainer import TrainState
+
+        self = cls(model, None, **kw)
+        batch = next(iter(self._loader(list(example_samples))))
+        batch = jax.tree.map(jnp.asarray, batch)
+        variables = model.init(
+            {"params": jax.random.key(0)}, maybe_inflate(batch),
+            deterministic=True,
+        )
+        from hl_hgat_tpu.train.optim import adam_l2
+
+        # template must match the Trainer's saved structure exactly
+        template = TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=adam_l2(1e-3, 1e-3).init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+            rng=jax.random.key(0),
+        )
+        restored = restore_checkpoint(ckpt_dir, template)
+        self.variables = {
+            "params": restored.params, "batch_stats": restored.batch_stats
+        }
+        return self
+
+    def _loader(self, samples: list[GraphSample]) -> BucketedLoader:
+        return BucketedLoader(
+            samples,
+            batch_size=min(self.batch_size, len(samples)),
+            shuffle=False,
+            num_buckets=1,
+            layout="dense_packed",
+            node_cap=self.node_cap,
+            edge_cap=self.edge_cap,
+            transfer=self.transfer,
+            y_per_edge=self.edge_level,
+        )
+
+    def __call__(self, samples: Sequence[GraphSample]):
+        samples = list(samples)
+        loader = self._loader(samples)
+        bs = min(self.batch_size, len(samples))
+        outs: list[np.ndarray] = []
+        produced = 0
+        for batch in loader:
+            dev = jax.tree.map(jnp.asarray, batch)
+            out = np.asarray(self._forward(self.variables, dev))
+            keep = min(bs, len(samples) - produced)  # strip filler graphs
+            if self.edge_level:
+                lvl = maybe_inflate(dev).levels[0]
+                gid = np.asarray(lvl.s_gid).reshape(-1)
+                mask = np.asarray(lvl.edge_mask).reshape(-1) > 0
+                flat = out.reshape(-1, *out.shape[2:]) if out.ndim > 2 else (
+                    out.reshape(-1)
+                )
+                for g in range(keep):
+                    sel = (gid == g) & mask
+                    outs.append(flat[sel])
+            else:
+                outs.extend(out[:keep])
+            produced += keep
+        if self.edge_level:
+            return outs
+        return np.stack(outs)
