@@ -94,6 +94,20 @@ class Predictor:
         return self
 
     def _loader(self, samples: list[GraphSample]) -> BucketedLoader:
+        import dataclasses
+
+        # serving inputs may be unlabeled — the collate wants a y array
+        samples = [
+            dataclasses.replace(
+                s,
+                y=np.zeros(
+                    s.num_edges if self.edge_level else 1, np.float32
+                ),
+            )
+            if s.y is None
+            else s
+            for s in samples
+        ]
         return BucketedLoader(
             samples,
             batch_size=min(self.batch_size, len(samples)),

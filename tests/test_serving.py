@@ -54,6 +54,13 @@ class TestPredictor:
         out = pred(samples)
         assert out.shape[0] == 11
         assert np.isfinite(out).all()
+        # unlabeled serving inputs work (y filled with zeros internally)
+        import dataclasses
+
+        unlabeled = [dataclasses.replace(s, y=None) for s in samples[:4]]
+        np.testing.assert_allclose(
+            pred(unlabeled), out[:4], rtol=1e-5, atol=1e-6
+        )
         # per-sample determinism + order: predicting a sub-list matches
         sub = pred(samples[3:6])
         np.testing.assert_allclose(sub, out[3:6], rtol=1e-5, atol=1e-6)
