@@ -60,9 +60,17 @@ def main():
     )
 
     def many(variables, batch):
+        # the carry must FEED the input, or XLA hoists the loop-invariant
+        # forward out of the scan and the "throughput" is one forward total
+        # (measured: 54M edges/s fiction vs 15M real)
+        import dataclasses
+
         def body(c, _):
-            out = model.apply(variables, batch, deterministic=True)
-            return c + jnp.sum(out), None
+            b = dataclasses.replace(
+                batch, x_t=batch.x_t + (c * 1e-30).astype(batch.x_t.dtype)
+            )
+            out = model.apply(variables, b, deterministic=True)
+            return jnp.sum(out).astype(jnp.float32), None
 
         total, _ = jax.lax.scan(
             body, jnp.zeros((), jnp.float32), None, length=steps

@@ -28,7 +28,7 @@ so nothing downloads here; `load_samples` accepts, in order of preference:
 
 from __future__ import annotations
 
-import glob
+import json
 import os
 import pickle
 
@@ -45,28 +45,41 @@ from hl_hgat_tpu.data.datasets import (
 SPLITS = ("train", "val", "test")
 
 
-def _cache_name(benchmark: str, split: str) -> str:
-    return f"{benchmark}-{split}"
+def _cache_name(benchmark: str, split: str, keig: int, num_pool: int) -> str:
+    # build parameters are part of the key: a keig/num_pool change must not
+    # silently serve stale preprocessed samples
+    return f"{benchmark}-{split}-k{keig}p{num_pool}"
 
 
-def cache_size(root: str, benchmark: str, split: str) -> int:
-    return len(
-        glob.glob(os.path.join(root, f"{_cache_name(benchmark, split)}_*.npz"))
-    )
+def _manifest_path(root: str, name: str) -> str:
+    return os.path.join(root, f"{name}_manifest.json")
 
 
-def _load_cache(root: str, benchmark: str, split: str) -> list[GraphSample]:
-    ds = CachedDataset(root=root, name=_cache_name(benchmark, split))
-    n = cache_size(root, benchmark, split)
+def cache_size(
+    root: str, benchmark: str, split: str, keig: int, num_pool: int
+) -> int:
+    """Number of cached samples, 0 unless the cache is COMPLETE (the
+    manifest is written last, so a crashed preprocessing run is rebuilt
+    rather than silently truncating the dataset)."""
+    name = _cache_name(benchmark, split, keig, num_pool)
+    path = _manifest_path(root, name)
+    if not os.path.exists(path):
+        return 0
+    with open(path) as f:
+        return int(json.load(f)["count"])
+
+
+def _load_cache(root: str, name: str, n: int) -> list[GraphSample]:
+    ds = CachedDataset(root=root, name=name)
     return [ds.load(i) for i in range(n)]
 
 
-def _save_cache(
-    root: str, benchmark: str, split: str, samples: list[GraphSample]
-) -> None:
-    ds = CachedDataset(root=root, name=_cache_name(benchmark, split))
+def _save_cache(root: str, name: str, samples: list[GraphSample]) -> None:
+    ds = CachedDataset(root=root, name=name)
     for i, s in enumerate(samples):
         ds.save(i, s)
+    with open(_manifest_path(root, name), "w") as f:
+        json.dump(dict(count=len(samples)), f)
 
 
 def _to_np(t):
@@ -125,13 +138,19 @@ def load_samples(
 ) -> list[GraphSample]:
     """GraphSamples for one benchmark split from ``root`` (docstring above).
 
-    ``limit`` truncates after parsing (smoke runs); augmentation-bearing
-    datasets (TSP node dropout, CIFAR10-SP edge dropout + PE flips) apply
-    their load-time augs when the loader rebuilds batches each epoch, not
-    here — cached arrays are the deterministic preprocessed form.
+    ``limit`` truncates after parsing (smoke runs).  Cached arrays are the
+    DETERMINISTIC preprocessed form: the reference's load-time structure
+    augmentations (TSP node dropout, CIFAR10-SP edge dropout) are NOT
+    re-rolled per epoch here — the device-side PE sign-flip augmentation is
+    available instead (TrainerConfig.pe_flip_*; run.py wires it per
+    benchmark), and structure dropout per epoch would need re-running the
+    sample builders over raw data each epoch (not supported by the arena
+    loader; SURVEY §7 hard-part 6).
     """
-    if cache_size(root, benchmark, split):
-        samples = _load_cache(root, benchmark, split)
+    name = _cache_name(benchmark, split, keig, num_pool)
+    n_cached = cache_size(root, benchmark, split, keig, num_pool)
+    if n_cached:
+        samples = _load_cache(root, name, n_cached)
         return samples[:limit] if limit else samples
 
     rng = np.random.default_rng(seed)
@@ -174,5 +193,5 @@ def load_samples(
     else:
         raise ValueError(f"unknown benchmark {benchmark!r}")
     if cache:
-        _save_cache(root, benchmark, split, samples)
+        _save_cache(root, name, samples)
     return samples[:limit] if limit else samples

@@ -63,6 +63,11 @@ class BucketedLoader:
     # BIT-IDENTICAL results (host ml_dtypes and the device cast both round
     # to nearest even).  Keep float32 when the model computes in float32.
     feature_dtype: str = "float32"
+    # fill short final batches with the bucket's smallest sample to keep
+    # num_graphs static (one jit shape; duplicates bias only the final
+    # partial batch).  Set False for EXACT evaluation metrics — the final
+    # batch then carries fewer graphs (one extra compile for its shape).
+    pad_final: bool = True
 
     def __post_init__(self):
         if self.layout not in ("coo", "dense_packed"):
@@ -161,8 +166,10 @@ class BucketedLoader:
                     continue
                 # keep num_graphs static: fill short final batches with the
                 # bucket's smallest sample (duplicates only bias the final
-                # partial batch; evaluation should use batch_size | N)
-                n_fill = self.batch_size - len(chunk)
+                # partial batch; pad_final=False for exact evaluation)
+                n_fill = (
+                    self.batch_size - len(chunk) if self.pad_final else 0
+                )
                 if self.layout == "dense_packed":
                     from hl_hgat_tpu.data.fast_collate import (
                         collate_packed_compact,

@@ -41,11 +41,16 @@ def make_dp_train_step(
     tx: optax.GradientTransformation,
     loss_fn: Callable,
     mesh: Mesh,
+    pe_flip_node_static: "int | None" = None,
+    pe_flip_edge_static: "int | None" = None,
 ) -> Callable:
     """Build the jitted data-parallel training step.
 
     ``loss_fn(out, batch) -> scalar``.  State is replicated; the stacked
     batch is sharded over 'data' (leading axis = one sub-batch per device).
+    ``pe_flip_*_static`` enable the device-side eigen-PE sign-flip
+    augmentation with per-device randomness (mirrors the single-device
+    Trainer._train_step_impl).
     """
 
     def per_device(state: TrainState, batches: ComplexBatch):
@@ -58,6 +63,16 @@ def make_dp_train_step(
         batch = maybe_inflate(batch)
         rng = jax.random.fold_in(state.rng, jax.lax.axis_index("data"))
         rng = jax.random.fold_in(rng, state.step)
+        if pe_flip_node_static is not None or pe_flip_edge_static is not None:
+            from hl_hgat_tpu.complex.augment import pe_sign_flip
+
+            k_t, k_s = jax.random.split(jax.random.fold_in(rng, 1))
+            x_t, x_s = batch.x_t, batch.x_s
+            if pe_flip_node_static is not None:
+                x_t = pe_sign_flip(k_t, x_t, num_static=pe_flip_node_static)
+            if pe_flip_edge_static is not None:
+                x_s = pe_sign_flip(k_s, x_s, num_static=pe_flip_edge_static)
+            batch = batch.replace(x_t=x_t, x_s=x_s)
 
         def compute_loss(params):
             out, mutated = model.apply(

@@ -48,7 +48,9 @@ class DataParallelTrainer(Trainer):
         self.mesh = mesh
         self.data_ax = mesh.shape["data"]
         self._dp_step = make_dp_train_step(
-            model, self.tx, lambda out, b: self._loss_fn(out, b), mesh
+            model, self.tx, lambda out, b: self._loss_fn(out, b), mesh,
+            pe_flip_node_static=config.pe_flip_node_static,
+            pe_flip_edge_static=config.pe_flip_edge_static,
         )
 
     def train_epoch(self, state, batches):

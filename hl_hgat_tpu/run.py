@@ -89,15 +89,21 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 BENCH_SETTINGS = {
-    # (preset kwargs builder, TrainerConfig kwargs) — gates from SURVEY.md §6
+    # (preset kwargs builder, TrainerConfig kwargs) — gates from SURVEY.md §6.
+    # pe_static = leading non-PE feature columns (node, edge): enables the
+    # device-side eigen-PE sign-flip augmentation matching the reference's
+    # load-time flips (reference lib/Hodge_Dataset.py:428-439; TSP carries
+    # no PE).  The reference's per-epoch STRUCTURE augs (TSP node dropout,
+    # CIFAR edge dropout) are preprocessing-time only here (data/ingest.py
+    # docstring).
     "zinc": dict(task="regression", metric_mode="min", save_gate=0.4,
-                 denorm=2.0109, patience=10),
+                 denorm=2.0109, patience=10, pe_static=(1, 1)),
     "pepfunc": dict(task="multilabel", metric_mode="max", save_gate=0.5,
-                    patience=10),
+                    patience=10, pe_static=(9, 3)),
     "tsp": dict(task="edge_binary", metric_mode="max", save_gate=0.75,
-                patience=5),
+                patience=5, pe_static=None),
     "cifar10sp": dict(task="classification", metric_mode="max", save_gate=0.6,
-                      patience=5),
+                      patience=5, pe_static=(5, 4)),
 }
 
 
@@ -202,6 +208,8 @@ def main(argv=None) -> None:
             ),
             ckpt_every=args.ckpt_every,
             seed=fold,
+            pe_flip_node_static=(settings["pe_static"] or (None, None))[0],
+            pe_flip_edge_static=(settings["pe_static"] or (None, None))[1],
         )
         if args.dp > 1:
             from hl_hgat_tpu.parallel import DataParallelTrainer
@@ -213,6 +221,7 @@ def main(argv=None) -> None:
         else:
             trainer = Trainer(model, cfg)
 
+        eval_split = "val"
         if args.synthetic or args.data_root is None:
             samples = synthetic_samples(args, seed=fold)
             n_val = max(len(samples) // 10, 1)
@@ -237,8 +246,10 @@ def main(argv=None) -> None:
                     train_s = load_samples(
                         args.benchmark, split="test", **kw
                     )
+                    eval_split = "test"
                 except FileNotFoundError:
                     train_s = load_samples(args.benchmark, split="val", **kw)
+                    eval_split = "val (no test split files found)"
                 val_s = train_s
             else:
                 train_s = load_samples(args.benchmark, split="train", **kw)
@@ -248,7 +259,7 @@ def main(argv=None) -> None:
                     n_val = max(len(train_s) // 10, 1)
                     train_s, val_s = train_s[n_val:], train_s[:n_val]
         y_per_edge = settings["task"] == "edge_binary"
-        make_loader = lambda ss, sh: BucketedLoader(  # noqa: E731
+        make_loader = lambda ss, sh, **lkw: BucketedLoader(  # noqa: E731
             ss, batch_size=args.batch_size, shuffle=sh, y_per_edge=y_per_edge,
             seed=fold,
             layout="dense_packed" if args.layout == "packed" else "coo",
@@ -258,20 +269,36 @@ def main(argv=None) -> None:
             # bf16 compute casts features at model entry anyway — ship them
             # pre-cast (bit-identical, half the x_t/x_s transfer bytes)
             feature_dtype=args.dtype,
+            **lkw,
         )
         train_loader = make_loader(train_s, True)
-        val_loader = make_loader(val_s, False)
-        to_dev = lambda it: (jax.tree.map(jnp.asarray, b) for b in it)  # noqa: E731
+        # DataParallelTrainer stages batches itself (stack+shard); pushing
+        # them to the default device first would round-trip every batch
+        # host->device->host
+        to_dev = (
+            (lambda it: it)
+            if args.dp > 1
+            else (lambda it: (jax.tree.map(jnp.asarray, b) for b in it))
+        )
         state = trainer.init_state(
             jax.tree.map(jnp.asarray, next(iter(train_loader)))
         )
         if args.test:
-            state, _ = trainer.maybe_restore(state)
+            # exact metrics: no filler duplicates in the final short batch
+            val_loader = make_loader(val_s, False, pad_final=False)
+            state, start = trainer.maybe_restore(state, prefer="best")
+            if start == 1:
+                raise SystemExit(
+                    f"--test: no checkpoint under {cfg.ckpt_dir} — train "
+                    f"first (or point --save_dir at the trained weights)"
+                )
             loss, metric = trainer.evaluate(state, to_dev(val_loader))
             print(
-                f"Fold {fold} test loss={loss:.4f} metric={metric:.4f}"
+                f"Fold {fold} {eval_split} loss={loss:.4f} "
+                f"metric={metric:.4f} (epoch {start - 1} best)"
             )
             continue
+        val_loader = make_loader(val_s, False)
         state = trainer.fit(
             state,
             lambda: to_dev(train_loader),

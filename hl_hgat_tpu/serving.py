@@ -131,7 +131,9 @@ class Predictor:
             out = np.asarray(self._forward(self.variables, dev))
             keep = min(bs, len(samples) - produced)  # strip filler graphs
             if self.edge_level:
-                lvl = maybe_inflate(dev).levels[0]
+                # row metadata from the HOST batch — compact and dense
+                # layouts both carry s_gid/edge_mask; no device round-trip
+                lvl = batch.levels[0]
                 gid = np.asarray(lvl.s_gid).reshape(-1)
                 mask = np.asarray(lvl.edge_mask).reshape(-1) > 0
                 flat = out.reshape(-1, *out.shape[2:]) if out.ndim > 2 else (

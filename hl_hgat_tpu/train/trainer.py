@@ -134,8 +134,15 @@ class Trainer:
             rng=s_rng,
         )
 
-    def maybe_restore(self, state: TrainState) -> tuple[TrainState, int]:
-        """Resume from the latest checkpoint in ``ckpt_dir`` if present.
+    def maybe_restore(
+        self, state: TrainState, prefer: str = "newest"
+    ) -> tuple[TrainState, int]:
+        """Resume from a checkpoint in ``ckpt_dir`` if present.
+
+        ``prefer='newest'`` (resume semantics) picks whichever of the
+        best-so-far checkpoint and the periodic ``latest/`` save has the
+        higher epoch; ``prefer='best'`` (test/inference semantics) only
+        considers the metric-gated best checkpoint.
 
         Returns (state, start_epoch).  Restores params, BN stats, optimizer
         moments, step and PRNG — a true resume, which the reference (saving
@@ -154,12 +161,12 @@ class Trainer:
                 os.path.exists(os.path.join(d, "state"))
             )
 
-        # prefer whichever of best-so-far / periodic-latest is newer
-        candidates = [
-            d
-            for d in (cfg.ckpt_dir, os.path.join(cfg.ckpt_dir, "latest"))
-            if has_ckpt(d)
-        ]
+        dirs = (
+            (cfg.ckpt_dir,)
+            if prefer == "best"
+            else (cfg.ckpt_dir, os.path.join(cfg.ckpt_dir, "latest"))
+        )
+        candidates = [d for d in dirs if has_ckpt(d)]
         if not candidates:
             return state, 1
         chosen = max(

@@ -23,15 +23,6 @@ from hl_hgat_tpu.nn.conv import (
 )
 
 
-@pytest.fixture
-def adjoint_off():
-    """Run the body with the flag off, restore afterwards."""
-    prev = use_adjoint_conv()
-    use_adjoint_conv(False)
-    yield
-    use_adjoint_conv(prev)
-
-
 def _samples(rng, n=3):
     return [
         random_simplex_sample(
@@ -51,20 +42,23 @@ def _grads(fn, x, lap, w, b, r):
     return jax.grad(loss, argnums=argnums)(x, w, b)
 
 
-def _assert_grads_match(fn, x, lap, w, b, enabled_first=True):
+def _assert_grads_match(fn, x, lap, w, b):
     r = jnp.asarray(
         np.random.default_rng(7).standard_normal(
             jax.eval_shape(lambda: fn(x, lap, w, b)).shape
         ),
         jnp.float32,
     )
-    use_adjoint_conv(True)
-    g_adj = _grads(fn, x, lap, w, b, r)
-    out_adj = fn(x, lap, w, b)
-    use_adjoint_conv(False)
-    g_std = _grads(fn, x, lap, w, b, r)
-    out_std = fn(x, lap, w, b)
-    use_adjoint_conv(True)
+    prev = use_adjoint_conv()
+    try:
+        use_adjoint_conv(True)
+        g_adj = _grads(fn, x, lap, w, b, r)
+        out_adj = fn(x, lap, w, b)
+        use_adjoint_conv(False)
+        g_std = _grads(fn, x, lap, w, b, r)
+        out_std = fn(x, lap, w, b)
+    finally:
+        use_adjoint_conv(prev)
     np.testing.assert_array_equal(np.asarray(out_adj), np.asarray(out_std))
     for a, s in zip(g_adj, g_std):
         # fp-reordering only: the adjoint accumulates the same products in a
@@ -171,11 +165,14 @@ class TestAdjointConv:
 
             return jax.grad(loss_fn)(state.params)
 
-        use_adjoint_conv(True)
-        g_adj = grads()
-        use_adjoint_conv(False)
-        g_std = grads()
-        use_adjoint_conv(True)
+        prev = use_adjoint_conv()
+        try:
+            use_adjoint_conv(True)
+            g_adj = grads()
+            use_adjoint_conv(False)
+            g_std = grads()
+        finally:
+            use_adjoint_conv(prev)
         flat_a, _ = jax.flatten_util.ravel_pytree(g_adj)
         flat_s, _ = jax.flatten_util.ravel_pytree(g_std)
         np.testing.assert_allclose(

@@ -62,12 +62,19 @@ class TestIngest:
         assert s.x_t[:, 0].max() < 21 and s.x_s[:, 0].min() >= 0
         assert np.isfinite(s.y).all()
         # second call hits the npz cache and reproduces the arrays
-        assert cache_size(root, "zinc", "train") == n - 2
+        assert cache_size(root, "zinc", "train", 6, 0) == n - 2
         again = load_samples("zinc", root, "train", keig=6)
         np.testing.assert_array_equal(again[0].x_t, s.x_t)
         np.testing.assert_array_equal(
             again[0].levels[0].l1_vals, s.levels[0].l1_vals
         )
+        # the cache key carries the build params: a different keig must NOT
+        # serve the stale arrays
+        other = load_samples("zinc", root, "train", keig=4)
+        assert other[0].x_t.shape[1] == 1 + 3
+        # an incomplete cache (manifest missing) is rebuilt, not truncated
+        os.remove(os.path.join(root, "zinc-train-k6p0_manifest.json"))
+        assert cache_size(root, "zinc", "train", 6, 0) == 0
 
     def test_tsp_exported_pkl(self, tmp_path):
         root = str(tmp_path)

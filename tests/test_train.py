@@ -214,6 +214,12 @@ class TestEndToEnd:
         restored, start = t2.maybe_restore(t2.init_state(batches[0]))
         assert start == 5  # epoch 4 periodic save is the newest
         assert int(np.asarray(restored.step)) == 4
+        # prefer='best' (test/inference semantics) ignores the periodic
+        # save — with no gated best checkpoint it reports nothing to load
+        _, start_best = t2.maybe_restore(
+            t2.init_state(batches[0]), prefer="best"
+        )
+        assert start_best == 1
 
     def test_checkpoint_roundtrip(self, tmp_path):
         from hl_hgat_tpu.data import synthetic_zinc_batch
