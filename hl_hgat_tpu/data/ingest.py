@@ -45,10 +45,14 @@ from hl_hgat_tpu.data.datasets import (
 SPLITS = ("train", "val", "test")
 
 
-def _cache_name(benchmark: str, split: str, keig: int, num_pool: int) -> str:
+def _cache_name(
+    benchmark: str, split: str, keig: int, num_pool: int,
+    aug_variants: int = 1,
+) -> str:
     # build parameters are part of the key: a keig/num_pool change must not
     # silently serve stale preprocessed samples
-    return f"{benchmark}-{split}-k{keig}p{num_pool}"
+    suffix = f"a{aug_variants}" if aug_variants > 1 else ""
+    return f"{benchmark}-{split}-k{keig}p{num_pool}{suffix}"
 
 
 def _manifest_path(root: str, name: str) -> str:
@@ -56,12 +60,13 @@ def _manifest_path(root: str, name: str) -> str:
 
 
 def cache_size(
-    root: str, benchmark: str, split: str, keig: int, num_pool: int
+    root: str, benchmark: str, split: str, keig: int, num_pool: int,
+    aug_variants: int = 1,
 ) -> int:
     """Number of cached samples, 0 unless the cache is COMPLETE (the
     manifest is written last, so a crashed preprocessing run is rebuilt
     rather than silently truncating the dataset)."""
-    name = _cache_name(benchmark, split, keig, num_pool)
+    name = _cache_name(benchmark, split, keig, num_pool, aug_variants)
     path = _manifest_path(root, name)
     if not os.path.exists(path):
         return 0
@@ -135,23 +140,28 @@ def load_samples(
     limit: int | None = None,
     seed: int = 0,
     num_pool: int = 0,
+    aug_variants: int = 1,
 ) -> list[GraphSample]:
     """GraphSamples for one benchmark split from ``root`` (docstring above).
 
-    ``limit`` truncates after parsing (smoke runs).  Cached arrays are the
-    DETERMINISTIC preprocessed form: the reference's load-time structure
-    augmentations (TSP node dropout, CIFAR10-SP edge dropout) are NOT
-    re-rolled per epoch here — the device-side PE sign-flip augmentation is
-    available instead (TrainerConfig.pe_flip_*; run.py wires it per
-    benchmark), and structure dropout per epoch would need re-running the
-    sample builders over raw data each epoch (not supported by the arena
-    loader; SURVEY §7 hard-part 6).
+    ``limit`` truncates after parsing (smoke runs).  Cached arrays are a
+    DETERMINISTIC preprocessed form; the reference's load-time structure
+    augmentations (TSP node dropout lib/Hodge_Dataset.py:695-707,
+    CIFAR10-SP edge dropout :769-804) are reproduced by ``aug_variants``:
+    each TSP/CIFAR graph is preprocessed A times with independent aug rolls,
+    stored consecutively, and `BucketedLoader(variants=A)` serves a fresh
+    roll per graph per epoch.  PE sign flips stay device-side
+    (TrainerConfig.pe_flip_*).  ``limit`` counts underlying graphs.
     """
-    name = _cache_name(benchmark, split, keig, num_pool)
-    n_cached = cache_size(root, benchmark, split, keig, num_pool)
+    if benchmark not in ("tsp", "cifar10sp") or split != "train":
+        aug_variants = 1  # structure augs exist only for these train splits
+    name = _cache_name(benchmark, split, keig, num_pool, aug_variants)
+    n_cached = cache_size(
+        root, benchmark, split, keig, num_pool, aug_variants
+    )
     if n_cached:
         samples = _load_cache(root, name, n_cached)
-        return samples[:limit] if limit else samples
+        return samples[: limit * aug_variants] if limit else samples
 
     rng = np.random.default_rng(seed)
     if benchmark == "zinc":
@@ -176,9 +186,11 @@ def load_samples(
             tsp_sample(
                 np.asarray(g["edge_index"]), np.asarray(g["edge_attr"]),
                 np.asarray(g["pos"]), np.asarray(g["y"]), keig=keig,
-                rng=None,
+                aug=v > 0,
+                rng=np.random.default_rng((seed, gi, v)),
             )
-            for g in _exported_pkl(root, benchmark, split)
+            for gi, g in enumerate(_exported_pkl(root, benchmark, split))
+            for v in range(aug_variants)
         ]
     elif benchmark == "cifar10sp":
         samples = [
@@ -186,12 +198,14 @@ def load_samples(
                 np.asarray(g["edge_index"]), np.asarray(g["edge_attr"]),
                 np.asarray(g["x"]), np.asarray(g["pos"]),
                 int(np.asarray(g["y"]).reshape(-1)[0]),
-                keig=keig, num_pool=num_pool, rng=rng,
+                keig=keig, num_pool=num_pool, aug=v > 0,
+                rng=np.random.default_rng((seed, gi, v)),
             )
-            for g in _exported_pkl(root, benchmark, split)
+            for gi, g in enumerate(_exported_pkl(root, benchmark, split))
+            for v in range(aug_variants)
         ]
     else:
         raise ValueError(f"unknown benchmark {benchmark!r}")
     if cache:
         _save_cache(root, name, samples)
-    return samples[:limit] if limit else samples
+    return samples[: limit * aug_variants] if limit else samples

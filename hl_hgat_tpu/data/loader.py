@@ -68,13 +68,32 @@ class BucketedLoader:
     # partial batch).  Set False for EXACT evaluation metrics — the final
     # batch then carries fewer graphs (one extra compile for its shape).
     pad_final: bool = True
+    # Per-epoch structure augmentation via precomputed variants: ``samples``
+    # holds ``variants`` consecutive augmentation rolls per underlying graph
+    # (layout [g0v0, g0v1, ..., g1v0, ...] — data/ingest.py aug_variants);
+    # epoch e serves variant (e + i) % variants of graph i, so every epoch
+    # sees a fresh aug roll per graph like the reference's load-time
+    # dropout_node/dropout_edge (reference lib/Hodge_Dataset.py:695-707,
+    # :769-804) while pads/buckets stay static (computed over ALL variants).
+    variants: int = 1
 
     def __post_init__(self):
         if self.layout not in ("coo", "dense_packed"):
             raise ValueError(f"unknown layout {self.layout!r}")
         if self.transfer not in ("dense", "compact", "derived"):
             raise ValueError(f"unknown transfer {self.transfer!r}")
+        if self.variants > 1 and len(self.samples) % self.variants:
+            raise ValueError(
+                f"{len(self.samples)} samples not divisible by "
+                f"variants={self.variants}"
+            )
         costs = np.asarray([_sample_cost(s) for s in self.samples])
+        if self.variants > 1:
+            # bucket by GROUP (worst variant) so every roll of one graph
+            # lands in the same bucket — static shapes across epochs
+            costs = np.repeat(
+                costs.reshape(-1, self.variants).max(axis=1), self.variants
+            )
         if self.num_buckets > 1:
             qs = np.quantile(
                 costs, np.linspace(0, 1, self.num_buckets + 1)[1:-1]
@@ -149,14 +168,22 @@ class BucketedLoader:
         return self._pads
 
     def __len__(self) -> int:
-        return -(-len(self.samples) // self.batch_size)
+        return -(-(len(self.samples) // self.variants) // self.batch_size)
 
     def __iter__(self) -> Iterator[ComplexBatch]:
-        rng = np.random.default_rng(self.seed + self._epoch)
+        ep = self._epoch
+        rng = np.random.default_rng(self.seed + ep)
         self._epoch += 1
-        order = np.arange(len(self.samples))
-        if self.shuffle:
-            rng.shuffle(order)
+        if self.variants > 1:
+            groups = np.arange(len(self.samples) // self.variants)
+            if self.shuffle:
+                rng.shuffle(groups)
+            # fresh aug roll per graph per epoch, decorrelated across graphs
+            order = groups * self.variants + (ep + groups) % self.variants
+        else:
+            order = np.arange(len(self.samples))
+            if self.shuffle:
+                rng.shuffle(order)
         # group by bucket, emit fixed-size batches per bucket
         for b in range(self.num_buckets):
             members = order[self._bucket_of[order] == b]

@@ -38,6 +38,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--folds", type=int, default=5)
     p.add_argument("--fold", type=int, default=-1)
     p.add_argument("--test", type=int, default=0)
+    p.add_argument("--aug_variants", type=int, default=1,
+                   help="TSP/CIFAR10-SP structure augmentation: preprocess "
+                        "N independent dropout rolls per training graph and "
+                        "cycle one per epoch (the reference re-rolls at "
+                        "load time every epoch; 1 = no structure aug)")
     p.add_argument("--ckpt_every", type=int, default=0,
                    help="also save full state every N epochs to "
                         "<ckpt_dir>/latest (crash recovery; 0 = off)")
@@ -238,6 +243,7 @@ def main(argv=None) -> None:
                 num_pool=1 if args.benchmark in ("pepfunc", "cifar10sp")
                 else 0,
                 seed=fold,
+                aug_variants=args.aug_variants,
             )
             if args.test:
                 # evaluate the saved best checkpoint on the test split
@@ -271,7 +277,14 @@ def main(argv=None) -> None:
             feature_dtype=args.dtype,
             **lkw,
         )
-        train_loader = make_loader(train_s, True)
+        train_variants = (
+            args.aug_variants
+            if args.benchmark in ("tsp", "cifar10sp")
+            and args.data_root is not None and not args.synthetic
+            and not args.test
+            else 1
+        )
+        train_loader = make_loader(train_s, True, variants=train_variants)
         # DataParallelTrainer stages batches itself (stack+shard); pushing
         # them to the default device first would round-trip every batch
         # host->device->host

@@ -128,3 +128,80 @@ class TestIngest:
     def test_missing_raw_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             load_samples("tsp", str(tmp_path), "train")
+
+    def test_aug_variants_tsp(self, tmp_path):
+        """aug_variants preprocesses A independent dropout rolls per graph
+        (variant 0 unaugmented), stored consecutively for the loader."""
+        root = str(tmp_path)
+        rng = np.random.default_rng(3)
+        graphs = []
+        for _ in range(4):
+            n = 14
+            ei = _ring_edges(n)
+            y = np.zeros(ei.shape[1], np.float32)
+            y[: n // 2] = 1.0  # some tour edges to protect
+            graphs.append(
+                dict(
+                    pos=rng.random((n, 2)).astype(np.float32),
+                    edge_index=ei, y=y,
+                    edge_attr=rng.random(ei.shape[1]).astype(np.float32),
+                )
+            )
+        with open(os.path.join(root, "tsp_train.pkl"), "wb") as f:
+            pickle.dump(graphs, f)
+        A = 3
+        samples = load_samples("tsp", root, "train", aug_variants=A)
+        assert len(samples) == 4 * A
+        for g in range(4):
+            group = samples[g * A : (g + 1) * A]
+            # same graph, same labels, different aug mask rolls possible
+            for s in group:
+                np.testing.assert_array_equal(s.y, group[0].y)
+                np.testing.assert_array_equal(s.x_t, group[0].x_t)
+            assert (group[0].x_s[:, -1] == 1.0).all()  # variant 0 clean
+        # at least one roll across the dataset actually dropped something
+        assert any(
+            (s.x_s[:, -1] == 0.0).any() for s in samples
+        ), "no aug variant rolled a dropout — seeds degenerate?"
+        # eval splits never get variants
+        with open(os.path.join(root, "tsp_val.pkl"), "wb") as f:
+            pickle.dump(graphs, f)
+        val = load_samples("tsp", root, "val", aug_variants=A)
+        assert len(val) == 4
+
+    def test_loader_cycles_variants_per_epoch(self, rng):
+        from hl_hgat_tpu.data.loader import BucketedLoader
+        from hl_hgat_tpu.data.synthetic import random_simplex_sample
+
+        A, N = 3, 6
+        samples = []
+        for g in range(N):
+            base = random_simplex_sample(
+                rng, n_nodes=12, node_feat=2, edge_feat=2, keig=0
+            )
+            for v in range(A):
+                import copy
+
+                s = copy.deepcopy(base)
+                s.x_t[:] = g + 100 * v  # mark (graph, variant)
+                samples.append(s)
+        loader = BucketedLoader(
+            samples, batch_size=N, layout="dense_packed", node_cap=64,
+            edge_cap=64, shuffle=False, variants=A,
+        )
+        assert len(loader) == 1
+        seen = []
+        for _ in range(3):  # three epochs
+            (batch,) = list(loader)
+            # recover (graph, variant) marks from the features
+            marks = set()
+            x = np.asarray(batch.x_t)
+            m = np.asarray(batch.levels[0].node_mask) > 0
+            gid = np.asarray(batch.levels[0].n_gid)
+            for g in range(N):
+                vals = x[..., 0][(gid == g) & m]
+                marks.add((int(vals[0]) % 100, int(vals[0]) // 100))
+            assert len(marks) == N  # one variant per graph
+            seen.append(frozenset(marks))
+        # epochs serve different variant assignments
+        assert len(set(seen)) == 3
