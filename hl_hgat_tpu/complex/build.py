@@ -186,13 +186,14 @@ def boundary_dense(src: np.ndarray, dst: np.ndarray, num_nodes: int) -> np.ndarr
 
 
 def hodge_laplacians(
-    src: np.ndarray, dst: np.ndarray, num_nodes: int
+    src: np.ndarray, dst: np.ndarray, num_nodes: int, *, with_l1: bool = True
 ) -> tuple[np.ndarray, np.ndarray, float]:
     """L0 = 2 B1 B1ᵀ / λmax, L1 = 2 B1ᵀ B1 / λmax (dense, float64).
 
     λmax is the largest eigenvalue of the *unscaled* L0, so both rescaled
     spectra live in [0, 2] (reference lib/Hodge_Dataset.py:451-456; L0 and L1
-    share nonzero spectra).
+    share nonzero spectra).  ``with_l1=False`` skips the [E, E] product
+    (the dominant cost on edge-dense graphs) when only L0 is consumed.
     """
     b1 = boundary_dense(src, dst, num_nodes)
     l0 = b1 @ b1.T
@@ -203,7 +204,7 @@ def hodge_laplacians(
     if max_eig <= 0:
         max_eig = 1.0
     l0 = 2.0 * l0 / max_eig
-    l1 = 2.0 * (b1.T @ b1) / max_eig
+    l1 = 2.0 * (b1.T @ b1) / max_eig if with_l1 else None
     return l0, l1, max_eig
 
 

@@ -68,9 +68,15 @@ def pad_truncate_features(
     return x
 
 
-def _lift(edge_index, edge_attr, num_nodes, *, reduce="min"):
+def _lift(edge_index, edge_attr, num_nodes, *, reduce="min", dense=True):
+    """Canonicalize + build one level; ``dense=False`` skips the dense
+    L0/L1 rebuild (only needed when eigen-PE features are computed — the
+    dense [E, E] L1 product is the preprocessing hot spot on large graphs,
+    ~1 s/graph at TSP sizes on this host)."""
     ei, ea = canonical_undirected(edge_index, edge_attr, reduce=reduce)
     structure = build_structure(ei[0], ei[1], num_nodes)
+    if not dense:
+        return ei, ea, structure, None, None
     l0, l1, _ = hodge_laplacians(ei[0], ei[1], num_nodes)
     return ei, ea, structure, l0, l1
 
@@ -149,7 +155,11 @@ def tsp_sample(
     nodes) zeroes L1 rows via the mask column appended to x_s."""
     ea2 = np.stack([np.asarray(edge_attr, np.float64).reshape(-1),
                     np.asarray(y_edge, np.float64).reshape(-1)], axis=1)
-    ei, ea, structure, l0, l1 = _lift(edge_index, ea2, pos.shape[0])
+    # TSP features carry no eigen-PE (x_t = coords, x_s = dist + mask) —
+    # skip the dense L0/L1 rebuild (exact: those arrays were unused)
+    ei, ea, structure, _, _ = _lift(
+        edge_index, ea2, pos.shape[0], dense=False
+    )
     dist, y = ea[:, 0], ea[:, 1]
     e = ei.shape[1]
     node_mask = np.ones(pos.shape[0], np.float32)
@@ -194,7 +204,9 @@ def cifar10sp_sample(
         ei, keep = dropout_edge(ei, 0.5, rng=rng, training=True)
         ea = ea[keep]
     structure = build_structure(ei[0], ei[1], x.shape[0])
-    l0, l1, _ = hodge_laplacians(ei[0], ei[1], x.shape[0])
+    # edge PE derives from the NODE PE (|pe_src + pe_dst|, script
+    # semantics) — the dense [E, E] L1 is never consumed here
+    l0, _, _ = hodge_laplacians(ei[0], ei[1], x.shape[0], with_l1=False)
     node_pe = eig_pe(l0, k=keig)
     edge_pe = np.abs(node_pe[ei[0]] + node_pe[ei[1]])
     x_t = np.concatenate(
