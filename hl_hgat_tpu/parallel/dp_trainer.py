@@ -56,30 +56,29 @@ class DataParallelTrainer(Trainer):
     def train_epoch(self, state, batches):
         state = replicate_state(state, self.mesh)
         total, n = None, 0
-        group: list = []
-        for batch in batches:
-            group.append(jax.tree.map(np.asarray, batch))
-            if len(group) < self.data_ax:
-                continue
-            state, loss = self._dp_step(
+
+        def step(group, real):
+            nonlocal state, total, n
+            new_state, loss = self._dp_step(
                 state, shard_batches(stack_batches(group), self.mesh)
             )
-            g = sum(b.num_graphs for b in group)
+            state = new_state
+            g = sum(b.num_graphs for b in group[:real])
             contrib = loss * g
             total = contrib if total is None else total + contrib
             n += g
-            group = []
+
+        group: list = []
+        for batch in batches:
+            group.append(jax.tree.map(np.asarray, batch))
+            if len(group) == self.data_ax:
+                step(group, self.data_ax)
+                group = []
         if group:  # trailing partial group: cycle its own batches
             k = len(group)
             while len(group) < self.data_ax:
                 group.append(group[len(group) % k])
-            state, loss = self._dp_step(
-                state, shard_batches(stack_batches(group), self.mesh)
-            )
-            g = sum(b.num_graphs for b in group[:k])
-            contrib = loss * g
-            total = contrib if total is None else total + contrib
-            n += g
+            step(group, k)
         if total is None:
             return state, 0.0
         return state, float(np.asarray(total)) / max(n, 1)

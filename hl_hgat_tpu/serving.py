@@ -68,24 +68,14 @@ class Predictor:
     ) -> "Predictor":
         """Initialize variable shapes from example samples, then restore."""
         from hl_hgat_tpu.train.checkpoint import restore_checkpoint
-        from hl_hgat_tpu.train.trainer import TrainState
+        from hl_hgat_tpu.train.trainer import Trainer, TrainerConfig
 
         self = cls(model, None, **kw)
         batch = next(iter(self._loader(list(example_samples))))
-        batch = jax.tree.map(jnp.asarray, batch)
-        variables = model.init(
-            {"params": jax.random.key(0)}, maybe_inflate(batch),
-            deterministic=True,
-        )
-        from hl_hgat_tpu.train.optim import adam_l2
-
-        # template must match the Trainer's saved structure exactly
-        template = TrainState(
-            params=variables["params"],
-            batch_stats=variables.get("batch_stats", {}),
-            opt_state=adam_l2(1e-3, 1e-3).init(variables["params"]),
-            step=jnp.zeros((), jnp.int32),
-            rng=jax.random.key(0),
+        # the restore template comes from the same constructor that wrote
+        # the checkpoint — structure matches by construction
+        template = Trainer(model, TrainerConfig()).init_state(
+            jax.tree.map(jnp.asarray, batch)
         )
         restored = restore_checkpoint(ckpt_dir, template)
         self.variables = {
