@@ -45,13 +45,27 @@ from hl_hgat_tpu.data.datasets import (
 SPLITS = ("train", "val", "test")
 
 
+def effective_aug_variants(
+    benchmark: str, split: str, aug_variants: int
+) -> int:
+    """Single source of truth for where structure-augmentation variants
+    apply: only the TSP/CIFAR10-SP TRAIN splits carry per-epoch dropout in
+    the reference.  The loader's ``variants`` must use the same value."""
+    if aug_variants < 1:
+        raise ValueError(f"aug_variants must be >= 1, got {aug_variants}")
+    if benchmark not in ("tsp", "cifar10sp") or split != "train":
+        return 1
+    return aug_variants
+
+
 def _cache_name(
     benchmark: str, split: str, keig: int, num_pool: int,
-    aug_variants: int = 1,
+    aug_variants: int = 1, seed: int = 0,
 ) -> str:
-    # build parameters are part of the key: a keig/num_pool change must not
-    # silently serve stale preprocessed samples
-    suffix = f"a{aug_variants}" if aug_variants > 1 else ""
+    # build parameters are part of the key: a keig/num_pool/seed change must
+    # not silently serve stale preprocessed samples (the seed drives the
+    # augmentation rolls, so it only keys augmented caches)
+    suffix = f"a{aug_variants}s{seed}" if aug_variants > 1 else ""
     return f"{benchmark}-{split}-k{keig}p{num_pool}{suffix}"
 
 
@@ -61,12 +75,12 @@ def _manifest_path(root: str, name: str) -> str:
 
 def cache_size(
     root: str, benchmark: str, split: str, keig: int, num_pool: int,
-    aug_variants: int = 1,
+    aug_variants: int = 1, seed: int = 0,
 ) -> int:
     """Number of cached samples, 0 unless the cache is COMPLETE (the
     manifest is written last, so a crashed preprocessing run is rebuilt
     rather than silently truncating the dataset)."""
-    name = _cache_name(benchmark, split, keig, num_pool, aug_variants)
+    name = _cache_name(benchmark, split, keig, num_pool, aug_variants, seed)
     path = _manifest_path(root, name)
     if not os.path.exists(path):
         return 0
@@ -153,17 +167,15 @@ def load_samples(
     roll per graph per epoch.  PE sign flips stay device-side
     (TrainerConfig.pe_flip_*).  ``limit`` counts underlying graphs.
     """
-    if benchmark not in ("tsp", "cifar10sp") or split != "train":
-        aug_variants = 1  # structure augs exist only for these train splits
-    name = _cache_name(benchmark, split, keig, num_pool, aug_variants)
+    aug_variants = effective_aug_variants(benchmark, split, aug_variants)
+    name = _cache_name(benchmark, split, keig, num_pool, aug_variants, seed)
     n_cached = cache_size(
-        root, benchmark, split, keig, num_pool, aug_variants
+        root, benchmark, split, keig, num_pool, aug_variants, seed
     )
     if n_cached:
         samples = _load_cache(root, name, n_cached)
         return samples[: limit * aug_variants] if limit else samples
 
-    rng = np.random.default_rng(seed)
     if benchmark == "zinc":
         samples = [
             zinc_sample(ei, ea, at, y, keig=keig, embed_ids=True)

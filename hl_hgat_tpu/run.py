@@ -258,12 +258,20 @@ def main(argv=None) -> None:
                     eval_split = "val (no test split files found)"
                 val_s = train_s
             else:
+                from hl_hgat_tpu.data.ingest import effective_aug_variants
+
                 train_s = load_samples(args.benchmark, split="train", **kw)
+                a = effective_aug_variants(
+                    args.benchmark, "train", args.aug_variants
+                )
                 try:
                     val_s = load_samples(args.benchmark, split="val", **kw)
                 except FileNotFoundError:
-                    n_val = max(len(train_s) // 10, 1)
-                    train_s, val_s = train_s[n_val:], train_s[:n_val]
+                    # hold out 10% of GROUPS; validate on the clean
+                    # (variant-0) roll of each held-out graph
+                    n_val = max(len(train_s) // a // 10, 1)
+                    val_s = train_s[: n_val * a : a]
+                    train_s = train_s[n_val * a :]
         y_per_edge = settings["task"] == "edge_binary"
         make_loader = lambda ss, sh, **lkw: BucketedLoader(  # noqa: E731
             ss, batch_size=args.batch_size, shuffle=sh, y_per_edge=y_per_edge,
@@ -277,13 +285,14 @@ def main(argv=None) -> None:
             feature_dtype=args.dtype,
             **lkw,
         )
-        train_variants = (
-            args.aug_variants
-            if args.benchmark in ("tsp", "cifar10sp")
-            and args.data_root is not None and not args.synthetic
-            and not args.test
-            else 1
-        )
+        if args.data_root is not None and not args.synthetic and not args.test:
+            from hl_hgat_tpu.data.ingest import effective_aug_variants
+
+            train_variants = effective_aug_variants(
+                args.benchmark, "train", args.aug_variants
+            )
+        else:
+            train_variants = 1
         train_loader = make_loader(train_s, True, variants=train_variants)
         # DataParallelTrainer stages batches itself (stack+shard); pushing
         # them to the default device first would round-trip every batch

@@ -168,6 +168,17 @@ class TestIngest:
             pickle.dump(graphs, f)
         val = load_samples("tsp", root, "val", aug_variants=A)
         assert len(val) == 4
+        # the seed keys augmented caches: fold 1 gets its own rolls
+        s1 = load_samples("tsp", root, "train", aug_variants=A, seed=1)
+        assert os.path.exists(
+            os.path.join(root, "tsp-train-k100p0a3s1_manifest.json")
+        )
+        assert len(s1) == 4 * A
+        # invalid variant counts are rejected up front
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            load_samples("tsp", root, "train", aug_variants=0)
 
     def test_loader_cycles_variants_per_epoch(self, rng):
         from hl_hgat_tpu.data.loader import BucketedLoader
