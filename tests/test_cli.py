@@ -1,0 +1,80 @@
+"""Training CLI (hl_hgat_tpu/run.py) end-to-end flows on tiny data.
+
+These lock the argparse surface and the fold-loop wiring: synthetic
+training, real-data ingestion + official splits, checkpoint gating /
+--test semantics, and the DP path.  Model sizes are minimal — each run is
+a few seconds of CPU compile + train.
+"""
+
+import os
+import pickle
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_ingest import _fake_zinc_raw, _ring_edges  # noqa: E402
+
+from hl_hgat_tpu.run import main  # noqa: E402
+
+TINY = [
+    "--fold", "0", "--c1", "1", "--c2", "1", "--c3", "1", "--filters", "8",
+    "--K", "2", "--mlp_channels", "1", "--layout", "packed",
+    "--pack_cap", "64", "--batch_size", "4", "--epochs", "1",
+]
+
+
+class TestCli:
+    def test_synthetic_train(self, tmp_path, capsys):
+        main(["--benchmark", "zinc", "--synthetic", "--n_synthetic", "12",
+              "--keig", "5", "--save_dir", str(tmp_path)] + TINY)
+        out = capsys.readouterr().out
+        assert "Epoch 001" in out and "Fold 0" in out
+
+    def test_data_root_train_resume_and_test(self, tmp_path, capsys):
+        root = str(tmp_path / "raw")
+        _fake_zinc_raw(root, n_mols=10)
+        save = str(tmp_path / "w")
+        args = ["--benchmark", "zinc", "--data_root", root, "--keig", "5",
+                "--save_dir", save] + TINY
+        main(args)
+        # no gated checkpoint (random labels) -> --test fails loudly
+        with pytest.raises(SystemExit, match="no checkpoint"):
+            main(args + ["--test", "1"])
+        # --resume with nothing saved starts from scratch without error
+        main(args + ["--resume", "1"])
+        out = capsys.readouterr().out
+        assert "Epoch 001" in out
+
+    def test_dp_synthetic(self, tmp_path, capsys):
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multi-device mesh")
+        main(["--benchmark", "zinc", "--synthetic", "--n_synthetic", "16",
+              "--keig", "5", "--dp", "2", "--save_dir", str(tmp_path)]
+             + TINY)
+        assert "Epoch 001" in capsys.readouterr().out
+
+    def test_tsp_aug_variants_roundtrip(self, tmp_path, capsys):
+        root = str(tmp_path / "raw")
+        os.makedirs(root)
+        rng = np.random.default_rng(1)
+        graphs = []
+        for _ in range(12):
+            n = 14
+            ei = _ring_edges(n)
+            y = np.zeros(ei.shape[1], np.float32)
+            y[: n // 2] = 1.0
+            graphs.append(
+                dict(pos=rng.random((n, 2)).astype(np.float32),
+                     edge_index=ei,
+                     edge_attr=rng.random(ei.shape[1]).astype(np.float32),
+                     y=y)
+            )
+        with open(os.path.join(root, "tsp_train.pkl"), "wb") as f:
+            pickle.dump(graphs, f)
+        main(["--benchmark", "tsp", "--data_root", root, "--aug_variants",
+              "3", "--save_dir", str(tmp_path / "w")] + TINY)
+        assert "Epoch 001" in capsys.readouterr().out
