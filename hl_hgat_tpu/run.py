@@ -52,6 +52,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "the reference's --finetune analog with true "
                         "resume semantics)")
     p.add_argument("--data_root", default=None)
+    p.add_argument("--limit_samples", type=int, default=0,
+                   help="truncate each real-data split after N graphs "
+                        "(quick smoke runs; 0 = full split)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--n_synthetic", type=int, default=512)
     p.add_argument("--save_dir", default="./weights")
@@ -244,6 +247,7 @@ def main(argv=None) -> None:
                 else 0,
                 seed=fold,
                 aug_variants=args.aug_variants,
+                limit=args.limit_samples or None,
             )
             if args.test:
                 # evaluate the saved best checkpoint on the test split
