@@ -39,9 +39,10 @@ class HLHGATAttpool(nn.Module):
         level0 = batch.level0
         x_t = batch.x_t
         if self.use_inception:
-            x_t = Inception1D(if_readout=True, name="node_embedding")(
-                x_t, level0.node_mask, deterministic=deterministic
-            )
+            x_t = Inception1D(
+                if_readout=True, readout_mode="max_mean",
+                name="node_embedding",
+            )(x_t, level0.node_mask, deterministic=deterministic)
             x_t = x_t * level0.node_mask[:, None]
         feats = make_backbone(self.cfg)(
             x_t, batch.x_s, batch, deterministic

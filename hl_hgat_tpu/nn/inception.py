@@ -2,7 +2,13 @@
 
 Stem Conv1d(1→C, k=5) → inception stage 1 (1/3/5 kernels → C/4, C/2, C/4) →
 BN → LeakyReLU → MaxPool1d(3, stride 2, pad 1) → inception stage 2 (1/3/5 →
-nc, 2nc, nc) → BN → LeakyReLU; ``if_readout`` mean-pools the time axis.
+nc, 2nc, nc) → BN → LeakyReLU; ``if_readout`` reduces the time axis.
+
+``readout_mode`` selects between the two reference variants: the main lib
+mean-pools time (lib/Hodge_Cheb_Conv.py:358-360, ``"mean"``), while the
+DEMO fork — the one the shipped pretrained brain checkpoint was trained
+with — concatenates max-pool and mean-pool
+(HL-HGAT-DEMO/lib/Hodge_Cheb_Conv.py:512-514, ``"max_mean"``; 2× wider).
 
 TPU layout: features-last [N, T, C] so the convs are NTC→lax.conv with the
 channel contraction on the MXU (torch uses [N, C, T]).
@@ -24,6 +30,7 @@ class Inception1D(nn.Module):
     maxpool: int = 3
     leaky_slope: float = 0.1
     if_readout: bool = False
+    readout_mode: str = "mean"  # "mean" (main lib) | "max_mean" (DEMO)
 
     @nn.compact
     def __call__(
@@ -57,5 +64,9 @@ class Inception1D(nn.Module):
         )
         x = nn.leaky_relu(x, self.leaky_slope)
         if self.if_readout:
+            if self.readout_mode == "max_mean":
+                return jnp.concatenate(
+                    [x.max(axis=1), x.mean(axis=1)], axis=-1
+                )  # [N, 8*nc]
             return x.mean(axis=1)  # [N, 4*nc]
         return x  # [N, T', 4*nc] — feeds the 3-D conv path

@@ -9,8 +9,16 @@ from hl_hgat_tpu.utils.viz import (
     sort_by_parcels,
 )
 from hl_hgat_tpu.utils.profiling import StepTimer, trace_context
+from hl_hgat_tpu.utils.torch_import import (
+    import_hgat_attpool,
+    infer_hgat_config,
+    load_torch_state_dict,
+)
 
 __all__ = [
+    "import_hgat_attpool",
+    "infer_hgat_config",
+    "load_torch_state_dict",
     "collect_outputs",
     "feature_trends",
     "attention_fc_matrix",
