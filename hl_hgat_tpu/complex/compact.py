@@ -63,10 +63,15 @@ class CompactLevel:
     e_src: Array
     e_dst: Array
     e_col: Array
-    # dense row metadata (small): [B, S]/[B, E]
-    node_mask: Array
-    edge_mask: Array
+    # dense row metadata (small): [B, S]/[B, E].  ``None`` in slim mode —
+    # `inflate` (and `level_node_mask`/`level_edge_mask` for host readers)
+    # derives the masks from the gid fields: a row is real iff its gid is a
+    # real graph id (< num_graphs; padding rows carry the dump id).
+    node_mask: Array | None
+    edge_mask: Array | None
     deg: Array | None  # None in derived mode (|B1| row-sum on device)
+    # graph ids per row; slim mode ships these (and the COO index columns)
+    # as int16 when the ranges fit — `inflate` widens to int32 on device
     n_gid: Array
     s_gid: Array
     # per-graph 2/λmax, indexed by gid with a trailing 0 for the padding
@@ -78,7 +83,7 @@ class CompactLevel:
 
     @property
     def num_blocks(self) -> int:
-        return self.node_mask.shape[0]
+        return self.n_gid.shape[0]
 
 
 @_pytree_dataclass(meta=("sc", "sf", "ec", "ef"))
@@ -100,34 +105,90 @@ class CompactPool:
     ef: int
 
 
-@_pytree_dataclass(meta=("num_graphs",))
+@_pytree_dataclass(meta=("num_graphs", "y_packed"))
 class CompactBatch:
+    """``x_t_rows``/``x_s_rows`` mark **row-packed features**: ``x_t`` is
+    then ``[row_cap, F]`` holding only real (unpadded) rows and the index
+    arrays give each row's flat destination in the dense ``[B·S, F]``
+    layout (padding index entries point past the end and are dropped by
+    the device scatter).  Cuts the ~20-25% of feature bytes the packed
+    layout's pad rows would otherwise ship.  ``y`` is packed the same way
+    (with ``x_s_rows``) when it is edge-level, i.e. whenever it has one
+    leading row per level-0 edge slot (``y_packed``)."""
+
     x_t: Array
     x_s: Array
     y: Array
     levels: tuple[CompactLevel, ...]
     pools: tuple[CompactPool, ...]
     num_graphs: int
+    x_t_rows: Array | None = None
+    x_s_rows: Array | None = None
+    y_packed: bool = False
 
     @property
     def level0(self) -> CompactLevel:
         return self.levels[0]
 
 
+def level_node_mask(lv) -> Array:
+    """[B, S] f32 validity mask — stored, or derived from gids (slim)."""
+    if lv.node_mask is not None:
+        return lv.node_mask
+    return (lv.n_gid < lv.num_graphs).astype("float32")
+
+
+def level_edge_mask(lv) -> Array:
+    if lv.edge_mask is not None:
+        return lv.edge_mask
+    return (lv.s_gid < lv.num_graphs).astype("float32")
+
+
+def _i32(a):
+    """Widen slim (int16) transfer indices for the device scatters."""
+    return a if a.dtype == jnp.int32 else a.astype(jnp.int32)
+
+
 def _scatter3(nb: int, rows: int, cols: int, b, r, c, v):
     """Dense [nb, rows, cols] from COO; out-of-range b drops the entry."""
     out = jnp.zeros((nb, rows, cols), jnp.float32)
-    return out.at[b, r, c].set(v, mode="drop")
+    return out.at[_i32(b), _i32(r), _i32(c)].set(v, mode="drop")
+
+
+def _scatter_rows(packed: Array, rows: Array, nb: int, pad: int) -> Array:
+    """Row-packed features → dense [nb, pad, *]; pad rows stay zero."""
+    flat = jnp.zeros((nb * pad,) + packed.shape[1:], packed.dtype)
+    return flat.at[_i32(rows)].set(packed, mode="drop").reshape(
+        (nb, pad) + packed.shape[1:]
+    )
 
 
 def inflate(batch: CompactBatch) -> DenseBatch:
     """Device-side densification (jit-traceable): CompactBatch → DenseBatch."""
+    x_t, x_s, y = batch.x_t, batch.x_s, batch.y
+    if batch.x_t_rows is not None:
+        lv0 = batch.levels[0]
+        nb0 = lv0.num_blocks
+        x_t = _scatter_rows(x_t, batch.x_t_rows, nb0, lv0.s_pad)
+        if batch.y_packed:  # edge-level labels pack with the edge rows
+            y = _scatter_rows(y, batch.x_s_rows, nb0, lv0.e_pad)
+        x_s = _scatter_rows(x_s, batch.x_s_rows, nb0, lv0.e_pad)
     levels = []
     for lv in batch.levels:
         nb = lv.num_blocks
+        ng = lv.num_graphs
+        n_gid, s_gid = _i32(lv.n_gid), _i32(lv.s_gid)
+        node_mask = (lv.node_mask if lv.node_mask is not None
+                     else (n_gid < ng).astype(jnp.float32))
+        edge_mask = (lv.edge_mask if lv.edge_mask is not None
+                     else (s_gid < ng).astype(jnp.float32))
         b1 = jnp.zeros((nb, lv.s_pad, lv.e_pad), jnp.float32)
-        b1 = b1.at[lv.e_b, lv.e_src, lv.e_col].set(-1.0, mode="drop")
-        b1 = b1.at[lv.e_b, lv.e_dst, lv.e_col].set(1.0, mode="drop")
+        b1 = b1.at[_i32(lv.e_b), _i32(lv.e_src), _i32(lv.e_col)].set(
+            -1.0, mode="drop"
+        )
+        b1 = b1.at[_i32(lv.e_b), _i32(lv.e_dst), _i32(lv.e_col)].set(
+            1.0, mode="drop"
+        )
         if lv.l0_v is not None:
             l0 = _scatter3(nb, lv.s_pad, lv.s_pad, lv.l0_b, lv.l0_r, lv.l0_c,
                            lv.l0_v)
@@ -139,8 +200,8 @@ def inflate(batch: CompactBatch) -> DenseBatch:
             # small integers (exact even through the MXU's bf16 passes);
             # only the ×(2/λmax) rounds.  Padding rows/cols of B1 are zero
             # and the dump bucket's scale is 0, so padding stays zero.
-            sc_n = lv.g_scale[lv.n_gid]  # [nb, S], 0 on padding rows
-            sc_e = lv.g_scale[lv.s_gid]
+            sc_n = lv.g_scale[n_gid]  # [nb, S], 0 on padding rows
+            sc_e = lv.g_scale[s_gid]
             l0 = jnp.einsum(
                 "gse,gte->gst", b1, b1, preferred_element_type=jnp.float32
             ) * sc_n[..., None]
@@ -151,8 +212,8 @@ def inflate(batch: CompactBatch) -> DenseBatch:
         levels.append(
             DenseLevel(
                 l0=l0, l1=l1, b1=b1,
-                node_mask=lv.node_mask, edge_mask=lv.edge_mask, deg=deg,
-                num_graphs=lv.num_graphs, n_gid=lv.n_gid, s_gid=lv.s_gid,
+                node_mask=node_mask, edge_mask=edge_mask, deg=deg,
+                num_graphs=ng, n_gid=n_gid, s_gid=s_gid,
             )
         )
     pools = []
@@ -164,7 +225,7 @@ def inflate(batch: CompactBatch) -> DenseBatch:
         p_s = p_s / jnp.maximum(p_s.sum(axis=2, keepdims=True), 1.0)
         pools.append(DensePool(p_t=p_t, p_s=p_s))
     return DenseBatch(
-        x_t=batch.x_t, x_s=batch.x_s, y=batch.y,
+        x_t=x_t, x_s=x_s, y=y,
         levels=tuple(levels), pools=tuple(pools),
         num_graphs=batch.num_graphs,
     )
@@ -198,6 +259,19 @@ def _pad_i32(a: np.ndarray, cap: int, fill: int) -> np.ndarray:
     out = np.full(cap, fill, np.int32)
     out[: a.size] = a
     return out
+
+
+def _pad_ids(a: np.ndarray, cap: int, fill: int, maxval: int) -> np.ndarray:
+    """Like ``_pad_i32`` but int16 when the value range fits (slim
+    transfer); `inflate` widens on device."""
+    dt = np.int16 if max(int(maxval), int(fill)) < 2**15 else np.int32
+    out = np.full(cap, fill, dt)
+    out[: a.size] = a
+    return out
+
+
+def _ids_dtype(maxval: int):
+    return np.int16 if int(maxval) < 2**15 else np.int32
 
 
 def _pad_f32(a: np.ndarray, cap: int) -> np.ndarray:
@@ -240,6 +314,7 @@ def compact_operators(
     nnz_multiple: int = 2048,
     nnz_caps: "list[tuple[int, int, int]] | None" = None,
     operators: str = "coo",
+    slim: bool = True,
 ) -> tuple[list[CompactLevel], Any]:
     """COO operator arrays for a packed batch (see fast_collate for the
     placement computation).  Returns (levels, nnz_caps_used); pass
@@ -247,7 +322,11 @@ def compact_operators(
 
     ``operators='derived'`` ships only B1 + per-graph 2/λmax scales; L0/L1
     and the degree vector are rebuilt on device by `inflate` (see
-    CompactLevel docstring)."""
+    CompactLevel docstring).
+
+    ``slim`` (default): validity masks do not cross the link at all
+    (derived from the gid fields), and every id column travels as int16
+    when its value range fits — `inflate` widens on device.  Exact."""
     if operators not in ("coo", "derived"):
         raise ValueError(f"unknown operators mode {operators!r}")
     derived = operators == "derived"
@@ -257,19 +336,20 @@ def compact_operators(
         fl = flat.levels[lv]
         # dense row metadata via the same placements
         s_pad, e_pad = caps[lv].nodes, caps[lv].edges
+        gid_dt = _ids_dtype(ng) if slim else np.int32
         nm = np.zeros((nb, s_pad), np.float32)
         em = np.zeros((nb, e_pad), np.float32)
         deg = np.zeros((nb, s_pad), np.float32)
-        n_gid = np.full((nb, s_pad), ng, np.int32)
-        s_gid = np.full((nb, e_pad), ng, np.int32)
+        n_gid = np.full((nb, s_pad), ng, gid_dt)
+        s_gid = np.full((nb, e_pad), ng, gid_dt)
         n_sz = fl.num_nodes[sample_idx].astype(np.int64)
         e_sz = fl.num_edges[sample_idx].astype(np.int64)
         rows_flat = flat_positions(bin_of, offs_n[lv], n_sz, s_pad)
         nm.reshape(-1)[rows_flat] = 1.0
-        n_gid.reshape(-1)[rows_flat] = np.repeat(gid, n_sz)
+        n_gid.reshape(-1)[rows_flat] = np.repeat(gid, n_sz).astype(gid_dt)
         cols_flat = flat_positions(bin_of, offs_e[lv], e_sz, e_pad)
         em.reshape(-1)[cols_flat] = 1.0
-        s_gid.reshape(-1)[cols_flat] = np.repeat(gid, e_sz)
+        s_gid.reshape(-1)[cols_flat] = np.repeat(gid, e_sz).astype(gid_dt)
 
         # operators as COO with block-local indices
         if derived:
@@ -332,18 +412,27 @@ def compact_operators(
                 deg=None, g_scale=g_scale,
             )
         else:
+            pad = _pad_ids if slim else (
+                lambda a, cap, fill, maxval: _pad_i32(a, cap, fill)
+            )
             op_fields = dict(
-                l0_b=_pad_i32(l0_b, cap0, nb), l0_r=_pad_i32(l0_r, cap0, 0),
-                l0_c=_pad_i32(l0_c, cap0, 0), l0_v=_pad_f32(l0_v, cap0),
-                l1_b=_pad_i32(l1_b, cap1, nb), l1_r=_pad_i32(l1_r, cap1, 0),
-                l1_c=_pad_i32(l1_c, cap1, 0), l1_v=_pad_f32(l1_v, cap1),
+                l0_b=pad(l0_b, cap0, nb, nb), l0_r=pad(l0_r, cap0, 0, s_pad),
+                l0_c=pad(l0_c, cap0, 0, s_pad), l0_v=_pad_f32(l0_v, cap0),
+                l1_b=pad(l1_b, cap1, nb, nb), l1_r=pad(l1_r, cap1, 0, e_pad),
+                l1_c=pad(l1_c, cap1, 0, e_pad), l1_v=_pad_f32(l1_v, cap1),
                 deg=deg, g_scale=None,
             )
+        pad = _pad_ids if slim else (
+            lambda a, cap, fill, maxval: _pad_i32(a, cap, fill)
+        )
         levels.append(
             CompactLevel(
-                e_b=_pad_i32(e_b, cape, nb), e_src=_pad_i32(e_src, cape, 0),
-                e_dst=_pad_i32(e_dst, cape, 0), e_col=_pad_i32(e_col, cape, 0),
-                node_mask=nm, edge_mask=em, n_gid=n_gid, s_gid=s_gid,
+                e_b=pad(e_b, cape, nb, nb), e_src=pad(e_src, cape, 0, s_pad),
+                e_dst=pad(e_dst, cape, 0, s_pad),
+                e_col=pad(e_col, cape, 0, e_pad),
+                node_mask=None if slim else nm,
+                edge_mask=None if slim else em,
+                n_gid=n_gid, s_gid=s_gid,
                 num_graphs=ng, s_pad=s_pad, e_pad=e_pad,
                 **op_fields,
             )

@@ -57,6 +57,11 @@ class BucketedLoader:
     # 2/λmax cross the link and two batched matmuls rebuild the Laplacians
     # on device (≤1 ulp; another ~40% fewer bytes).
     transfer: str = "dense"
+    # compact/derived only: ship just the real feature rows + their flat
+    # destinations (drop the pad rows — ~20-25% of feature bytes), masks
+    # derived on device, int16 id columns.  All exact; see
+    # complex/compact.py.  Set False to ship the dense feature blocks.
+    pack_feature_rows: bool = True
     # Feature transfer dtype.  With a bfloat16 compute_dtype model the
     # features are cast at model entry anyway (models/backbone.py), so
     # shipping them pre-cast halves the x_t/x_s bytes on the link with
@@ -215,6 +220,17 @@ class BucketedLoader:
                     kw = {}
                     if self.transfer in ("compact", "derived"):
                         fn = collate_packed_compact
+                        kw["pack_rows"] = self.pack_feature_rows
+                        if self.pack_feature_rows:
+                            # static per-bucket row caps: per-batch rounding
+                            # would flip shapes across shuffles and recompile
+                            # the step (pads[0] is the bucket's worst-case
+                            # top-batch_size row totals)
+                            r = lambda x: -(-x // 256) * 256  # noqa: E731
+                            kw["row_caps"] = (
+                                r(self._pads[b][0].nodes),
+                                r(self._pads[b][0].edges),
+                            )
                         if self.transfer == "derived":
                             kw["operators"] = "derived"
                     else:

@@ -122,10 +122,13 @@ class Predictor:
             keep = min(bs, len(samples) - produced)  # strip filler graphs
             if self.edge_level:
                 # row metadata from the HOST batch — compact and dense
-                # layouts both carry s_gid/edge_mask; no device round-trip
+                # layouts both carry s_gid (mask derives from it for slim
+                # compact batches); no device round-trip
+                from hl_hgat_tpu.complex.compact import level_edge_mask
+
                 lvl = batch.levels[0]
                 gid = np.asarray(lvl.s_gid).reshape(-1)
-                mask = np.asarray(lvl.edge_mask).reshape(-1) > 0
+                mask = np.asarray(level_edge_mask(lvl)).reshape(-1) > 0
                 flat = out.reshape(-1, *out.shape[2:]) if out.ndim > 2 else (
                     out.reshape(-1)
                 )

@@ -288,16 +288,29 @@ class Trainer:
                 if hasattr(lvl, "s_id"):  # COO layout
                     seg, o, yy, m = lvl.s_id, out, batch.y, lvl.edge_mask
                 else:  # dense layouts: flatten [G, E] rows
+                    from hl_hgat_tpu.complex.compact import (
+                        _scatter_rows,
+                        level_edge_mask,
+                    )
+
+                    emask = level_edge_mask(lvl)
                     if lvl.s_gid is not None:  # packed superblocks
-                        seg = lvl.s_gid.reshape(-1)
+                        seg = lvl.s_gid.reshape(-1).astype(jnp.int32)
                     else:  # one graph per block
                         seg = jnp.broadcast_to(
-                            jnp.arange(lvl.edge_mask.shape[0])[:, None],
-                            lvl.edge_mask.shape,
+                            jnp.arange(emask.shape[0])[:, None],
+                            emask.shape,
                         ).reshape(-1)
                     o = out.reshape(-1)
-                    yy = batch.y.reshape(-1)
-                    m = lvl.edge_mask.reshape(-1)
+                    yy = batch.y
+                    if getattr(batch, "y_packed", False):
+                        # row-packed edge labels → dense [B, E] rows
+                        yy = _scatter_rows(
+                            jnp.asarray(yy), jnp.asarray(batch.x_s_rows),
+                            lvl.num_blocks, lvl.e_pad,
+                        )
+                    yy = yy.reshape(-1)
+                    m = emask.reshape(-1)
                 f1s.append(M.per_graph_binary_f1(o, yy, seg, g, m) * g)
             elif cfg.task == "classification":
                 accs.append(M.accuracy(out, batch.y.reshape(-1)) * g)

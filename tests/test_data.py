@@ -455,6 +455,64 @@ class TestFastCollate:
         coo_compact = collate_packed_compact(flat, idx, **kw)
         assert size(compact) < 0.75 * size(coo_compact)
 
+    def test_packed_rows_y_per_edge_matches_dense(self, rng):
+        """pack_rows=True (the default): features and edge-level labels ship
+        row-packed with int16 ids and no masks; inflate reproduces the dense
+        batch exactly."""
+        import jax
+        import jax.numpy as jnp
+
+        from hl_hgat_tpu.complex.compact import inflate
+        from hl_hgat_tpu.complex.dense import collate_dense_packed
+        from hl_hgat_tpu.data.fast_collate import (
+            FlatSamples,
+            collate_packed_compact,
+        )
+
+        samples = []
+        for _ in range(23):
+            s = random_simplex_sample(
+                rng, n_nodes=int(rng.integers(10, 20)), node_feat=3,
+                edge_feat=2, keig=4,
+            )
+            s.y = rng.integers(0, 2, (s.num_edges,)).astype(np.float32)
+            samples.append(s)
+        flat = FlatSamples(samples)
+        idx = rng.permutation(23)[:16]
+        kw = dict(node_cap=48, edge_cap=56, num_blocks=16, y_per_edge=True)
+        compact = collate_packed_compact(flat, idx, operators="derived", **kw)
+        assert compact.y_packed and compact.x_t_rows.dtype == np.int16
+        assert compact.level0.node_mask is None
+        assert compact.level0.e_src.dtype == np.int16
+        dense = jax.jit(inflate)(jax.tree.map(jnp.asarray, compact))
+        ref = collate_dense_packed([samples[i] for i in idx], **kw)
+        np.testing.assert_array_equal(np.asarray(dense.x_t), ref.x_t)
+        np.testing.assert_array_equal(np.asarray(dense.x_s), ref.x_s)
+        np.testing.assert_array_equal(np.asarray(dense.y), ref.y)
+        np.testing.assert_array_equal(
+            np.asarray(dense.levels[0].node_mask), ref.levels[0].node_mask
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dense.levels[0].edge_mask), ref.levels[0].edge_mask
+        )
+        np.testing.assert_array_equal(np.asarray(dense.levels[0].b1),
+                                      ref.levels[0].b1)
+        # legacy options still produce the same inflated batch
+        legacy = collate_packed_compact(
+            flat, idx, operators="derived", slim=False, pack_rows=False, **kw
+        )
+        assert legacy.x_t_rows is None and legacy.level0.node_mask is not None
+        dense2 = jax.jit(inflate)(jax.tree.map(jnp.asarray, legacy))
+        np.testing.assert_array_equal(np.asarray(dense2.x_s),
+                                      np.asarray(dense.x_s))
+        np.testing.assert_array_equal(np.asarray(dense2.y),
+                                      np.asarray(dense.y))
+        # the slim row-packed transfer is smaller
+        size = lambda b: sum(  # noqa: E731
+            np.asarray(x).nbytes for x in jax.tree.leaves(b)
+        )
+        assert size(compact) < 0.8 * size(legacy)
+
     def test_derived_attpool_pyramid_trains(self, rng):
         """Derived transfer with an MLGC pyramid through the attpool model:
         CompactPool triplets + derived coarse-level operators inflate under

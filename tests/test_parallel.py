@@ -348,7 +348,19 @@ class TestDpCompact:
                   nnz_caps=[(512, 512, 512)]
                   if operators == "coo" else [(0, 0, 512)],
                   operators=operators)
+        # legacy transfer options for the tight post-Adam param compare:
+        # slim/pack_rows reproduce the same inflated batch exactly
+        # (tests/test_data.py) but the in-graph feature scatter changes XLA
+        # fusion, which perturbs reductions at the 1e-7 reassociation level
+        # — Adam's sign-like first step amplifies that on near-zero grads.
+        # The default (slim, row-packed) mode is asserted at loss level
+        # below.
         compact = [
+            collate_packed_compact(flat, np.arange(i * 4, i * 4 + 4),
+                                   slim=False, pack_rows=False, **kw)
+            for i in range(8)
+        ]
+        compact_slim = [
             collate_packed_compact(flat, np.arange(i * 4, i * 4 + 4), **kw)
             for i in range(8)
         ]
@@ -385,7 +397,8 @@ class TestDpCompact:
         )
         dp_step = make_dp_train_step(model, trainer.tx, loss_fn, mesh8)
         outs = {}
-        for name, subs in (("compact", compact), ("dense", dense)):
+        for name, subs in (("compact", compact), ("dense", dense),
+                           ("slim", compact_slim)):
             # fresh state per branch: dp_step donates its (replicated) state
             # argument, whose buffers may alias the source via device_put
             st = replicate_state(
@@ -397,6 +410,8 @@ class TestDpCompact:
             )
             outs[name] = (st, float(loss))
         assert outs["compact"][1] == pytest.approx(outs["dense"][1], rel=1e-5)
+        # default slim/row-packed transfer: same loss through the DP step
+        assert outs["slim"][1] == pytest.approx(outs["dense"][1], rel=1e-5)
         for a, b in zip(
             jax.tree.leaves(outs["compact"][0].params),
             jax.tree.leaves(outs["dense"][0].params),
