@@ -224,23 +224,189 @@ def _translate_hgat(
     return out, report
 
 
-def import_hgat_attpool(
-    variables: Mapping[str, Any],
-    sd: Mapping[str, np.ndarray],
-    *,
-    strict: bool = True,
-) -> tuple[dict[str, Any], ImportReport]:
-    """Load a reference ``HL_HGAT_attpool`` state dict into the flax
-    ``variables`` of :class:`HLHGATAttpool` (``model.init(...)`` output).
+class _Translator:
+    """Shared torch-key → flax-path machinery for the reference families."""
 
-    Returns ``(new_variables, report)``.  ``strict`` raises if any
-    checkpoint tensor has no rule, any translated tensor has no matching
-    leaf (or a shape mismatch), or any model leaf was left at its
-    initialization value.
+    def __init__(self) -> None:
+        self.out: dict[tuple[str, Path], np.ndarray] = {}
+        self.report = ImportReport()
+        self.lag_stacks: dict[Path, dict[int, np.ndarray]] = {}
+
+    def put(self, col: str, path: Path, val: np.ndarray, key: str) -> None:
+        self.out[(col, path)] = val
+        self.report.consumed.append(key)
+
+    def bn(self, base: Path, stat: str, val: np.ndarray, key: str) -> None:
+        if stat == "num_batches_tracked":
+            self.report.dropped.append(key)
+            return
+        col, leaf = _BN_MAP[stat]
+        self.put(col, base + (leaf,), val, key)
+
+    def lag(self, base: Path, rest: str, val: np.ndarray, key: str) -> None:
+        """HodgeLaguerre(Fast)Conv params: lins.{k}.weight / bias."""
+        if rest == "bias":
+            self.put("params", base + ("bias",), val, key)
+            return
+        m = re.fullmatch(r"lins\.(\d+)\.weight", rest)
+        assert m, rest
+        self.lag_stacks.setdefault(base, {})[int(m.group(1))] = val.T
+        self.report.consumed.append(key)
+
+    def linear(self, base: Path, leaf_kind: str, val: np.ndarray,
+               key: str) -> None:
+        leaf = "kernel" if leaf_kind == "weight" else "bias"
+        self.put("params", base + (leaf,),
+                 val.T if leaf_kind == "weight" else val, key)
+
+    def finish(self) -> tuple[dict[tuple[str, Path], np.ndarray], ImportReport]:
+        for base, terms in self.lag_stacks.items():
+            ks = sorted(terms)
+            assert ks == list(range(len(ks))), f"missing Laguerre terms at {base}"
+            self.out[("params", base + ("weights",))] = np.stack(
+                [terms[i] for i in ks], axis=0
+            )
+        return self.out, self.report
+
+
+def _translate_hgcnn(
+    sd: Mapping[str, np.ndarray], head: str = "graph",
+) -> tuple[dict[tuple[str, Path], np.ndarray], ImportReport]:
+    """torch key → (collection, flax path) for the ``HL_HGCNN_*`` family
+    (reference lib/Hodge_ST_Model.py:412-1090).
+
+    ``head='graph'`` maps the graph-level models (zinc/pepfunc/CIFAR
+    pyr/attpool/poolint3 → :class:`HLHGCNNGraph`: ``mlp{i}``/``out`` are
+    Linears under the ``head`` MLP).  ``head='tsp'`` maps the edge-level
+    model (reference :756-852 → :class:`HLHGCNNTsp`: ``mlp``/``out`` are
+    K=1 Laguerre conv stages on edge features).
     """
-    import jax
+    t = _Translator()
+    for key, val in sd.items():
+        parts = key.split(".")
+        h = parts[0]
 
-    entries, report = _translate_hgat(sd)
+        if h == "HL_init_conv" or re.fullmatch(r"NEConv\d\d?", h):
+            base: Path = (("backbone", "init_node") if h == "HL_init_conv"
+                          else ("backbone", h, "node"))
+            ebase: Path = (("backbone", "init_edge") if h == "HL_init_conv"
+                           else ("backbone", h, "edge"))
+            mod = parts[1]
+            if mod == "module_0":
+                t.lag(base + ("conv",), ".".join(parts[2:]), val, key)
+            elif mod == "module_4":
+                t.lag(ebase + ("conv",), ".".join(parts[2:]), val, key)
+            elif mod == "module_1":
+                t.bn(base + ("bn",), parts[3], val, key)
+            elif mod == "module_5":
+                t.bn(ebase + ("bn",), parts[3], val, key)
+            else:
+                t.report.unmatched.append(key)
+
+        elif re.fullmatch(r"NEInt\d\d?", h):
+            wv, idx = parts[1], parts[2]
+            base = ("backbone", h, wv)
+            if idx in ("0", "3"):
+                lin = "TorchLinear_0" if idx == "0" else "TorchLinear_1"
+                t.linear(base + (lin,), parts[3], val, key)
+            elif idx in ("1", "4"):
+                bnm = "MaskedBatchNorm_0" if idx == "1" else "MaskedBatchNorm_1"
+                t.bn(base + (bnm,), parts[3], val, key)
+            else:
+                t.report.unmatched.append(key)
+
+        elif re.fullmatch(r"NEAtt\d", h):
+            t.linear(("backbone", h, parts[1]), parts[2], val, key)
+
+        elif re.fullmatch(r"mlp\d+", h) and head == "graph":
+            i = h[3:]
+            if parts[1] == "0":
+                t.linear(("head", f"mlp{i}_lin"), parts[2], val, key)
+            elif parts[1] == "1":
+                t.bn(("head", f"mlp{i}_bn"), parts[2], val, key)
+            else:
+                t.report.unmatched.append(key)
+
+        elif h == "out" and head == "graph":
+            t.linear(("head", "out"), parts[1], val, key)
+
+        elif h == "mlp" and head == "tsp":
+            if parts[1] == "module_0":
+                t.lag(("mlp", "conv"), ".".join(parts[2:]), val, key)
+            elif parts[1] == "module_1":
+                t.bn(("mlp", "bn"), parts[3], val, key)
+            else:
+                t.report.unmatched.append(key)
+
+        elif h == "out" and head == "tsp":
+            if parts[1] == "module_0":
+                t.lag(("out",), ".".join(parts[2:]), val, key)
+            else:
+                t.report.unmatched.append(key)
+
+        else:
+            t.report.unmatched.append(key)
+
+    return t.finish()
+
+
+def infer_hgcnn_config(sd: Mapping[str, np.ndarray]) -> dict[str, Any]:
+    """Recover HL_HGCNN constructor shapes from a state dict (the bridge
+    for reference-trained checkpoints, reference lib/Hodge_ST_Model.py:
+    544-554 zinc defaults)."""
+    k = len({m.group(1) for key in sd
+             if (m := re.fullmatch(
+                 r"NEConv00\.module_0\.lins\.(\d+)\.weight", key))})
+    init_k = len({m.group(1) for key in sd
+                  if (m := re.fullmatch(
+                      r"HL_init_conv\.module_0\.lins\.(\d+)\.weight", key))})
+    blocks: dict[int, set[int]] = {}
+    filters: dict[int, int] = {}
+    for key, v in sd.items():
+        m = re.fullmatch(r"NEConv(\d)(\d)\.module_0\.bias", key)
+        if m:
+            i, j = int(m.group(1)), int(m.group(2))
+            blocks.setdefault(i, set()).add(j)
+            filters[i] = v.shape[0]
+    n_blocks = max(blocks) + 1
+    att_locs = tuple(sorted(
+        int(key[5]) for key in sd
+        if re.fullmatch(r"NEAtt\d\.WQ_Node\.weight", key)
+    ))
+    mlp_channels = tuple(
+        sd[f"mlp{i}.0.bias"].shape[0]
+        for i in range(sum(1 for key in sd
+                           if re.fullmatch(r"mlp\d+\.0\.bias", key)))
+    )
+    out = dict(
+        channels=tuple(len(blocks[i]) for i in range(n_blocks)),
+        filters=tuple(filters[i] for i in range(n_blocks)),
+        k=k,
+        init_k=init_k,
+        att_locs=att_locs,
+        mlp_channels=mlp_channels,
+        node_dim=sd["HL_init_conv.module_0.lins.0.weight"].shape[1],
+        edge_dim=sd["HL_init_conv.module_4.lins.0.weight"].shape[1],
+    )
+    if "out.weight" in sd:  # graph head (Linear)
+        out["num_classes"] = sd["out.weight"].shape[0]
+    elif "out.module_0.lins.0.weight" in sd:  # edge head (K=1 conv)
+        out["num_classes"] = sd["out.module_0.lins.0.weight"].shape[0]
+        out["mlp_channels"] = tuple(
+            [sd["mlp.module_0.lins.0.weight"].shape[0]]
+            if "mlp.module_0.lins.0.weight" in sd else []
+        )
+    return out
+
+
+def _apply_entries(
+    variables: Mapping[str, Any],
+    entries: dict[tuple[str, Path], np.ndarray],
+    report: ImportReport,
+    *,
+    strict: bool,
+) -> tuple[dict[str, Any], ImportReport]:
+    import jax
 
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(dict(variables))[0]:
@@ -287,3 +453,41 @@ def import_hgat_attpool(
             node = node.setdefault(k, {})
         node[full[-1]] = val
     return new_vars, report
+
+
+def import_hgat_attpool(
+    variables: Mapping[str, Any],
+    sd: Mapping[str, np.ndarray],
+    *,
+    strict: bool = True,
+) -> tuple[dict[str, Any], ImportReport]:
+    """Load a reference ``HL_HGAT_attpool`` state dict into the flax
+    ``variables`` of :class:`HLHGATAttpool` (``model.init(...)`` output).
+
+    Returns ``(new_variables, report)``.  ``strict`` raises if any
+    checkpoint tensor has no rule, any translated tensor has no matching
+    leaf (or a shape mismatch), or any model leaf was left at its
+    initialization value.
+    """
+    entries, report = _translate_hgat(sd)
+    return _apply_entries(variables, entries, report, strict=strict)
+
+
+def import_hgcnn(
+    variables: Mapping[str, Any],
+    sd: Mapping[str, np.ndarray],
+    *,
+    head: str = "graph",
+    strict: bool = True,
+) -> tuple[dict[str, Any], ImportReport]:
+    """Load a reference ``HL_HGCNN_*`` state dict (reference
+    lib/Hodge_ST_Model.py:412-1090) into :class:`HLHGCNNGraph`
+    (``head='graph'``: zinc/pepfunc/CIFAR pyr + attpool) or
+    :class:`HLHGCNNTsp` (``head='tsp'``) variables.
+
+    Pair with :func:`infer_hgcnn_config` to recover the preset arguments
+    from the checkpoint shapes.  Same strictness contract as
+    :func:`import_hgat_attpool`.
+    """
+    entries, report = _translate_hgcnn(sd, head=head)
+    return _apply_entries(variables, entries, report, strict=strict)

@@ -25,7 +25,12 @@ import numpy as np
 sys.path.insert(0, ".")
 
 import jax
-import jax.numpy as jnp
+
+# correctness-only harness: run the JAX leg on host CPU (the sitecustomize
+# registers the tunneled TPU backend otherwise — CLAUDE.md env gotchas)
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
 
 from hl_hgat_tpu.complex.build import (
     boundary_dense,
@@ -83,10 +88,19 @@ def numpy_oracle(sample, cp, conv_out):
 
 def torch_reference_leg(sample, cp, mp, conv_out, a_t, a_s) -> bool:
     try:
+        try:
+            import torch_geometric  # noqa: F401  (real PyG if present)
+        except ImportError:
+            # pure-torch stand-ins sufficient to execute the reference
+            # modules (scripts/pyg_shim.py) — primitives verified against
+            # dense matmuls in tests/test_reference_parity.py
+            from scripts.pyg_shim import install
+
+            install()
         sys.path.insert(0, "/root/reference")
         import torch
         from lib.Hodge_Cheb_Conv import HodgeLaguerreConv, NodeEdgeInt as RefMSI  # noqa
-    except Exception as exc:  # pragma: no cover - needs PyG
+    except Exception as exc:  # pragma: no cover - needs torch
         print(f"reference leg SKIPPED (torch-geometric unavailable: {exc})")
         return False
     import torch
