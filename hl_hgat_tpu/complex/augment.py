@@ -73,6 +73,94 @@ def dropout_node(
     return edge_index[:, edge_mask], edge_attr[edge_mask], edge_mask, node_mask
 
 
+def tsp_dropout_device(key: Array, batch, *, apply_prob: float = 0.75):
+    """On-device per-epoch TSP structure augmentation at static shapes.
+
+    Reference semantics (lib/Hodge_Dataset.py:690-708 + dropout_node
+    :142-166): per loaded sample, with probability ``aug_prob`` (0.75 in
+    main_TSP_*, :404) draw an effective rate p' ~ U[0, 0.5) and drop each
+    edge-simplex with prob p' unless its label is positive (tour edges are
+    protected); the dropped simplices are removed from **L1 only** (the
+    induced ``subgraph`` of ``edge_index_s``) and the keep mask replaces
+    the last x_s column, which the model multiplies into its logits
+    (lib/Hodge_ST_Model.py:830-852).  L0, B1, degrees and features are NOT
+    touched — that is the reference's (quirky) contract.
+
+    Here the same distribution runs under jit with a fresh PRNG every step:
+    instead of re-slicing arrays (dynamic shapes), L1 values are multiplied
+    by ``keep[row]·keep[col]`` — exactly the induced-subgraph mask — so
+    every epoch gets a fresh roll with zero host work and no recompilation.
+    Works on both layouts (ComplexBatch / DenseBatch incl. block-spill).
+    """
+    import dataclasses
+
+    from hl_hgat_tpu.complex.batch import ComplexBatch, CooMatrix
+    from hl_hgat_tpu.complex.dense import BlockDiagMatrix, DenseBatch
+
+    ng = batch.num_graphs
+    level = batch.levels[0]
+    k_apply, k_rate, k_drop = jax.random.split(key, 3)
+    # per-graph: does this sample get an augmentation roll, and at what rate
+    applied = jax.random.bernoulli(k_apply, apply_prob, (ng + 1,))
+    p_eff = jax.random.uniform(k_rate, (ng + 1,)) * 0.5
+
+    if isinstance(batch, ComplexBatch):
+        gid = level.s_id
+        y = batch.y.reshape(-1)
+    else:
+        assert isinstance(batch, DenseBatch)
+        gid = level.s_gid.reshape(-1)
+        y = batch.y.reshape(gid.shape[0], -1)[:, 0]
+    gid = jnp.clip(gid, 0, ng)
+    u = jax.random.uniform(k_drop, gid.shape)
+    protected = y > 0
+    keep = (
+        (u > p_eff[gid]) | protected | ~applied[gid]
+    ).astype(jnp.float32)
+
+    def mask_coo(m: CooMatrix, keep_flat: Array) -> CooMatrix:
+        vals = m.vals * keep_flat[m.rows].astype(m.vals.dtype) * keep_flat[
+            m.cols
+        ].astype(m.vals.dtype)
+        ell_vals = m.ell_vals
+        if ell_vals is not None:
+            row_keep = keep_flat[:, None].astype(ell_vals.dtype)
+            col_keep = keep_flat[m.ell_cols].astype(ell_vals.dtype)
+            ell_vals = ell_vals * row_keep * col_keep
+        return dataclasses.replace(m, vals=vals, ell_vals=ell_vals)
+
+    if isinstance(batch, ComplexBatch):
+        l1 = mask_coo(level.l1, keep)
+        new_level = dataclasses.replace(level, l1=l1)
+        x_s = batch.x_s.at[:, -1].set(keep * level.edge_mask)
+    else:
+        e_pad = level.edge_mask.shape[1]
+        keep_blk = keep.reshape(-1, e_pad)
+        if isinstance(level.l1, BlockDiagMatrix):
+            blocks = (
+                level.l1.blocks
+                * keep_blk[:, :, None].astype(level.l1.blocks.dtype)
+                * keep_blk[:, None, :].astype(level.l1.blocks.dtype)
+            )
+            spill = (
+                None if level.l1.spill is None
+                else mask_coo(level.l1.spill, keep)
+            )
+            l1 = dataclasses.replace(level.l1, blocks=blocks, spill=spill)
+        else:
+            l1 = (
+                level.l1
+                * keep_blk[:, :, None].astype(level.l1.dtype)
+                * keep_blk[:, None, :].astype(level.l1.dtype)
+            )
+        new_level = dataclasses.replace(level, l1=l1)
+        x_s = batch.x_s.at[:, :, -1].set(keep_blk * level.edge_mask)
+
+    return batch.replace(
+        x_s=x_s, levels=(new_level,) + tuple(batch.levels[1:])
+    )
+
+
 def pe_sign_flip(
     key: Array,
     x: Array,

@@ -20,8 +20,26 @@ from typing import Any
 
 import numpy as np
 
-from hl_hgat_tpu.complex.batch import _pytree_dataclass
+from hl_hgat_tpu.complex.batch import CooMatrix, _pytree_dataclass
 from hl_hgat_tpu.complex.build import GraphSample, boundary_dense, hodge_laplacians
+
+
+@_pytree_dataclass
+class BlockDiagMatrix:
+    """Dense block-diagonal operator + COO spill for cross-block entries.
+
+    ``blocks`` [G, S, S] holds the within-block entries (MXU batched
+    matmuls); ``spill`` is a :class:`CooMatrix` over the FLATTENED
+    ``G·S`` row/col space carrying entries whose endpoints land in
+    different blocks — present only when a graph is larger than one block
+    (the large-graph fast path: TSP 500-node instances, brain complexes).
+    ``lap_matvec`` adds ``spmm_coo`` of the spill over ``x.reshape(G·S,
+    C)`` to the batched matmul — with a locality ordering (``bfs_order``)
+    the spill carries a few percent of nnz, so the op stays MXU-bound.
+    """
+
+    blocks: Any  # [G, S, S]
+    spill: Any = None  # CooMatrix over (G*S, G*S) flat slots, or None
 
 
 @_pytree_dataclass(meta=("num_graphs",))
@@ -39,11 +57,14 @@ class DenseLevel:
       processes 128×128 tiles per pass, so a 40×40 per-graph Laplacian
       mat-vec wastes ~90% of every pass; packing ~4–5 ZINC-sized graphs per
       128-row tile cuts tile passes by the packing factor and shrinks total
-      padded rows.
+      padded rows.  Graphs LARGER than one block span several consecutive
+      blocks; their cross-block operator entries ride in ``BlockDiagMatrix
+      .spill`` / ``b1_sp`` (no hard size cap — closes the COO-fallback
+      cliff for reference TSP-500/brain workloads).
     """
 
-    l0: Any  # [G, S, S] float32
-    l1: Any  # [G, E, E]
+    l0: Any  # [G, S, S] float32, or BlockDiagMatrix when spill present
+    l1: Any  # [G, E, E] (same)
     b1: Any  # [G, S, E] signed incidence (−1 src, +1 dst)
     node_mask: Any  # [G, S]
     edge_mask: Any  # [G, E]
@@ -51,6 +72,7 @@ class DenseLevel:
     num_graphs: int
     n_gid: Any = None  # [G, S] int32 — packed layout only
     s_gid: Any = None  # [G, E] int32 — packed layout only
+    b1_sp: Any = None  # CooMatrix (G*S, G*E) — cross-block B1 entries
 
     @property
     def nodes_per_graph(self) -> int:
@@ -63,10 +85,17 @@ class DenseLevel:
 
 @_pytree_dataclass
 class DensePool:
-    """Fine→coarse averaging operators (row-stochastic over members)."""
+    """Fine→coarse averaging operators (row-stochastic over members).
+
+    ``p_t_sp``/``p_s_sp`` carry cross-block assignment entries for graphs
+    spanning several blocks (CooMatrix over flat coarse×fine slots; values
+    already divided by the global member count so dense+spill sum to the
+    scatter-mean)."""
 
     p_t: Any  # [G, S_c, S_f]
     p_s: Any  # [G, E_c, E_f]
+    p_t_sp: Any = None
+    p_s_sp: Any = None
 
 
 @_pytree_dataclass(meta=("num_graphs",))
@@ -208,20 +237,42 @@ def pack_graphs(
     Sorting by size first keeps bins homogeneous; next-fit is O(G) — the
     host CPU here is heavily throttled, so no quadratic first-fit scan.
     """
+    bins, spans = pack_plan(samples, node_cap, edge_cap, allow_span=False)
+    return bins
+
+
+def pack_plan(
+    samples: list[GraphSample],
+    node_cap: int,
+    edge_cap: int,
+    *,
+    allow_span: bool = True,
+) -> tuple[list[list[int]], dict[int, int]]:
+    """Bin packing that also handles graphs LARGER than one block.
+
+    Oversized graphs become single-member bins spanning
+    ``max(⌈n/node_cap⌉, ⌈e/edge_cap⌉)`` consecutive blocks (``spans[i]``);
+    their cross-block operator entries go to the COO spill at collate time.
+    """
     order = sorted(
         range(len(samples)),
         key=lambda i: -(samples[i].num_nodes + samples[i].num_edges),
     )
     bins: list[list[int]] = []
+    spans: dict[int, int] = {}
     cur: list[int] = []
     cn = ce = 0
     for i in order:
         n, e = samples[i].num_nodes, samples[i].num_edges
         if n > node_cap or e > edge_cap:
-            raise ValueError(
-                f"graph ({n} nodes, {e} edges) exceeds pack caps "
-                f"({node_cap}, {edge_cap})"
-            )
+            if not allow_span:
+                raise ValueError(
+                    f"graph ({n} nodes, {e} edges) exceeds pack caps "
+                    f"({node_cap}, {edge_cap})"
+                )
+            bins.append([i])
+            spans[i] = max(-(-n // node_cap), -(-e // edge_cap))
+            continue
         if cn + n > node_cap or ce + e > edge_cap:
             bins.append(cur)
             cur, cn, ce = [], 0, 0
@@ -230,7 +281,118 @@ def pack_graphs(
         ce += e
     if cur:
         bins.append(cur)
-    return bins
+    # spanning bins first: keeps their block ranges contiguous and stable
+    bins.sort(key=lambda m: 0 if (len(m) == 1 and m[0] in spans) else 1)
+    return bins, spans
+
+
+# ---------------------------------------------------------------------------
+# locality ordering for spanning graphs
+# ---------------------------------------------------------------------------
+
+
+def bfs_node_order(src, dst, num_nodes: int) -> np.ndarray:
+    """BFS relabelling (old → new id) so neighbours land in nearby slots.
+
+    For a graph split across 128-row blocks, the share of operator entries
+    that cross block boundaries (→ COO spill) is roughly the share of
+    edges whose endpoints sit ≥128 apart in the ordering; BFS keeps most
+    within a frontier's width."""
+    adj_head = np.full(num_nodes, -1, np.int64)
+    nxt = np.empty(2 * src.shape[0], np.int64)
+    pts = np.empty(2 * src.shape[0], np.int64)
+    for k, (u, v) in enumerate(((src, dst), (dst, src))):
+        base = k * src.shape[0]
+        for j in range(src.shape[0]):
+            pts[base + j] = v[j]
+            nxt[base + j] = adj_head[u[j]]
+            adj_head[u[j]] = base + j
+    perm = np.full(num_nodes, -1, np.int64)
+    order = []
+    for seed in range(num_nodes):
+        if perm[seed] >= 0:
+            continue
+        queue = [seed]
+        perm[seed] = 0  # mark visited; renumber later
+        while queue:
+            u = queue.pop(0)
+            order.append(u)
+            ptr = adj_head[u]
+            while ptr >= 0:
+                v = int(pts[ptr])
+                if perm[v] < 0:
+                    perm[v] = 0
+                    queue.append(v)
+                ptr = nxt[ptr]
+    out = np.empty(num_nodes, np.int64)
+    out[np.asarray(order)] = np.arange(num_nodes)
+    return out
+
+
+def reorder_sample(sample: GraphSample, *, y_per_edge: bool = False) -> GraphSample:
+    """Locality-permute level 0 (BFS nodes, endpoint-sorted edges).
+
+    Graph ops are permutation-equivariant, so models produce identical
+    per-graph outputs (per-simplex outputs permuted alongside their
+    features/labels).  Edge orientations are preserved — B1 signs are
+    untouched.  Only level 0 is permuted; pool assignments are re-indexed.
+    """
+    st = sample.levels[0]
+    n, e = st.num_nodes, st.num_edges
+    nperm = bfs_node_order(st.src, st.dst, n)  # old → new
+    new_src = nperm[st.src]
+    new_dst = nperm[st.dst]
+    ekey = np.minimum(new_src, new_dst) * (n + 1) + np.maximum(new_src, new_dst)
+    e_order = np.argsort(ekey, kind="stable")  # new position → old idx
+    eperm = np.empty(e, np.int64)  # old → new
+    eperm[e_order] = np.arange(e)
+
+    import dataclasses as _dc
+
+    new_level = _dc.replace(
+        st,
+        src=new_src[e_order].astype(np.int32),
+        dst=new_dst[e_order].astype(np.int32),
+        l0_rows=nperm[st.l0_rows].astype(np.int32),
+        l0_cols=nperm[st.l0_cols].astype(np.int32),
+        l1_rows=eperm[st.l1_rows].astype(np.int32),
+        l1_cols=eperm[st.l1_cols].astype(np.int32),
+    )
+    n_new2old = np.empty(n, np.int64)
+    n_new2old[nperm] = np.arange(n)
+    x_t = sample.x_t[n_new2old]
+    x_s = sample.x_s[e_order]
+    y = sample.y[e_order] if y_per_edge else sample.y
+    pools = list(sample.pools)
+    if pools:
+        c_node, c_edge = pools[0]
+        pools[0] = (
+            np.asarray(c_node).reshape(-1)[n_new2old],
+            np.asarray(c_edge).reshape(-1)[e_order],
+        )
+    return _dc.replace(
+        sample, x_t=x_t, x_s=x_s, y=y,
+        levels=[new_level] + list(sample.levels[1:]), pools=pools,
+    )
+
+
+def _make_spill(rows, cols, vals, shape, *, pad_multiple, symmetric=False):
+    """Pad a spill entry list to a static nnz and wrap as CooMatrix.
+
+    Padding entries are (0, 0, 0.0) — zero values contribute nothing to the
+    segment sums.  nnz rounds up to ``pad_multiple`` (pin batch shapes by
+    keeping batch composition stable, or raise the multiple)."""
+    nnz = rows.shape[0]
+    if nnz == 0:
+        return None
+    target = -(-nnz // pad_multiple) * pad_multiple
+    pad = target - nnz
+    rows = np.pad(rows.astype(np.int32), (0, pad))
+    cols = np.pad(cols.astype(np.int32), (0, pad))
+    vals = np.pad(vals.astype(np.float32), (0, pad))
+    return CooMatrix(
+        rows=rows, cols=cols, vals=vals, shape=shape, symmetric=symmetric
+    )
 
 
 def collate_dense_packed(
@@ -241,8 +403,10 @@ def collate_dense_packed(
     multiple: int = 8,
     y_per_edge: bool = False,
     bins: list[list[int]] | None = None,
+    spans: dict[int, int] | None = None,
     num_blocks: int | None = None,
     level_caps: list[tuple[int, int]] | None = None,
+    spill_pad_multiple: int = 256,
 ) -> DenseBatch:
     """Pack several graphs per dense block (block-diagonal operators).
 
@@ -251,37 +415,59 @@ def collate_dense_packed(
     assignment with caps derived from the largest bin.  Per-graph readout
     uses the ``n_gid``/``s_gid`` segment ids (ops/dispatch.py).
 
+    Graphs larger than one block (reference TSP 500-node instances,
+    lib/Hodge_Dataset.py:670-745; brain complexes) span consecutive blocks:
+    within-block operator entries stay dense, cross-block entries ride in
+    COO spills (``BlockDiagMatrix.spill``, ``DenseLevel.b1_sp``,
+    ``DensePool.p_*_sp``) applied as flat-slot ``spmm_coo`` corrections.
+    Pre-permute such samples with :func:`reorder_sample` (BFS locality) to
+    keep the spill small.  In spill mode every level uses the level-0 caps.
+
     For static shapes across batches (the jit contract), pass ``num_blocks``
     (extra blocks are all-padding) and ``level_caps`` = [(nodes, edges)] per
     level ≥ 1 (level 0 always uses node_cap/edge_cap).
     """
     if bins is None:
-        bins = pack_graphs(samples, node_cap, edge_cap)
-    nb = len(bins)
+        bins, spans = pack_plan(samples, node_cap, edge_cap)
+    elif spans is None:
+        spans = {}
+    ng = len(samples)
+    depth = len(samples[0].levels)
+    rnd = lambda x: max(-(-x // multiple) * multiple, multiple)  # noqa: E731
+    spill_mode = bool(spans)
+
+    # block index of each bin (spanning bins occupy several blocks)
+    block_of_bin: list[int] = []
+    cursor = 0
+    for members in bins:
+        block_of_bin.append(cursor)
+        if len(members) == 1 and members[0] in spans:
+            cursor += spans[members[0]]
+        else:
+            cursor += 1
+    nb = cursor
     if num_blocks is not None:
         if nb > num_blocks:
             raise ValueError(f"packing needs {nb} blocks > cap {num_blocks}")
         nb = num_blocks
-    ng = len(samples)
-    depth = len(samples[0].levels)
-    rnd = lambda x: max(-(-x // multiple) * multiple, multiple)  # noqa: E731
 
-    # per-level caps + per-graph (bin, node_off, edge_off) placements
+    # per-level caps + per-graph GLOBAL (node_slot, edge_slot) starts
     caps: list[DensePad] = []
-    offs: list[dict[int, tuple[int, int, int]]] = []
+    offs: list[dict[int, tuple[int, int]]] = []
+    lvl_caps: list[tuple[int, int]] = []
     for lv in range(depth):
-        placement: dict[int, tuple[int, int, int]] = {}
         max_n = max_e = 0
         for b, members in enumerate(bins):
+            if len(members) == 1 and members[0] in spans:
+                continue  # spanning bins handled by level-0 caps
             no = eo = 0
             for i in members:
                 st = samples[i].levels[lv]
-                placement[i] = (b, no, eo)
                 no += st.num_nodes
                 eo += st.num_edges
             max_n = max(max_n, no)
             max_e = max(max_e, eo)
-        if lv == 0:
+        if lv == 0 or spill_mode:
             caps.append(DensePad(nodes=rnd(node_cap), edges=rnd(edge_cap)))
         elif level_caps is not None:
             cn, ce = level_caps[lv - 1]
@@ -292,6 +478,23 @@ def collate_dense_packed(
             caps.append(DensePad(nodes=rnd(cn), edges=rnd(ce)))
         else:
             caps.append(DensePad(nodes=rnd(max_n), edges=rnd(max_e)))
+        s_lv, e_lv = caps[lv].nodes, caps[lv].edges
+        lvl_caps.append((s_lv, e_lv))
+        placement: dict[int, tuple[int, int]] = {}
+        for b, members in enumerate(bins):
+            blk0 = block_of_bin[b]
+            is_span = len(members) == 1 and members[0] in spans
+            no = eo = 0
+            for i in members:
+                st = samples[i].levels[lv]
+                placement[i] = (blk0 * s_lv + no, blk0 * e_lv + eo)
+                no += st.num_nodes
+                eo += st.num_edges
+            if not is_span and (no > s_lv or eo > e_lv):
+                raise ValueError(
+                    f"bin overflow at level {lv}: ({no}, {eo}) > "
+                    f"({s_lv}, {e_lv})"
+                )
         offs.append(placement)
 
     levels: list[DenseLevel] = []
@@ -300,28 +503,71 @@ def collate_dense_packed(
         l0 = np.zeros((nb, s_pad, s_pad), np.float32)
         l1 = np.zeros((nb, e_pad, e_pad), np.float32)
         b1 = np.zeros((nb, s_pad, e_pad), np.float32)
-        nm = np.zeros((nb, s_pad), np.float32)
-        em = np.zeros((nb, e_pad), np.float32)
-        deg = np.zeros((nb, s_pad), np.float32)
-        n_gid = np.full((nb, s_pad), ng, np.int32)
-        s_gid = np.full((nb, e_pad), ng, np.int32)
+        nm = np.zeros((nb * s_pad,), np.float32)
+        em = np.zeros((nb * e_pad,), np.float32)
+        deg = np.zeros((nb * s_pad,), np.float32)
+        n_gid = np.full((nb * s_pad,), ng, np.int32)
+        s_gid = np.full((nb * e_pad,), ng, np.int32)
+        sp0 = [[], [], []]
+        sp1 = [[], [], []]
+        spb = [[], [], []]
+
+        def put(dense, r_gl, c_gl, v, s_r, s_c, spill):
+            br = r_gl // s_r
+            bc = c_gl // s_c
+            same = br == bc
+            dense[br[same], r_gl[same] % s_r, c_gl[same] % s_c] = v[same]
+            if not same.all():
+                spill[0].append(r_gl[~same])
+                spill[1].append(c_gl[~same])
+                spill[2].append(v[~same])
+
         for i, s in enumerate(samples):
             st = s.levels[lv]
-            b, no, eo = offs[lv][i]
+            ns, es = offs[lv][i]
             n, e = st.num_nodes, st.num_edges
-            l0[b, no + st.l0_rows, no + st.l0_cols] = st.l0_vals
-            l1[b, eo + st.l1_rows, eo + st.l1_cols] = st.l1_vals
-            b1[b, no : no + n, eo : eo + e] = boundary_dense(st.src, st.dst, n)
-            nm[b, no : no + n] = 1.0
-            em[b, eo : eo + e] = 1.0
-            np.add.at(deg[b], no + st.src, 1.0)
-            np.add.at(deg[b], no + st.dst, 1.0)
-            n_gid[b, no : no + n] = i
-            s_gid[b, eo : eo + e] = i
+            put(l0, ns + st.l0_rows.astype(np.int64),
+                ns + st.l0_cols.astype(np.int64), st.l0_vals, s_pad, s_pad,
+                sp0)
+            put(l1, es + st.l1_rows.astype(np.int64),
+                es + st.l1_cols.astype(np.int64), st.l1_vals, e_pad, e_pad,
+                sp1)
+            ecols = es + np.arange(e, dtype=np.int64)
+            put(b1, ns + st.src.astype(np.int64), ecols,
+                -np.ones(e, np.float32), s_pad, e_pad, spb)
+            put(b1, ns + st.dst.astype(np.int64), ecols,
+                np.ones(e, np.float32), s_pad, e_pad, spb)
+            nm[ns : ns + n] = 1.0
+            em[es : es + e] = 1.0
+            np.add.at(deg, ns + st.src, 1.0)
+            np.add.at(deg, ns + st.dst, 1.0)
+            n_gid[ns : ns + n] = i
+            s_gid[es : es + e] = i
+
+        def fin(spill, shape, symmetric):
+            if not spill[0]:
+                return None
+            return _make_spill(
+                np.concatenate(spill[0]), np.concatenate(spill[1]),
+                np.concatenate(spill[2]), shape,
+                pad_multiple=spill_pad_multiple, symmetric=symmetric,
+            )
+
+        spill0 = fin(sp0, (nb * s_pad, nb * s_pad), True)
+        spill1 = fin(sp1, (nb * e_pad, nb * e_pad), True)
+        spillb = fin(spb, (nb * s_pad, nb * e_pad), False)
         levels.append(
             DenseLevel(
-                l0=l0, l1=l1, b1=b1, node_mask=nm, edge_mask=em, deg=deg,
-                num_graphs=ng, n_gid=n_gid, s_gid=s_gid,
+                l0=BlockDiagMatrix(l0, spill0) if spill0 is not None else l0,
+                l1=BlockDiagMatrix(l1, spill1) if spill1 is not None else l1,
+                b1=b1,
+                node_mask=nm.reshape(nb, s_pad),
+                edge_mask=em.reshape(nb, e_pad),
+                deg=deg.reshape(nb, s_pad),
+                num_graphs=ng,
+                n_gid=n_gid.reshape(nb, s_pad),
+                s_gid=s_gid.reshape(nb, e_pad),
+                b1_sp=spillb,
             )
         )
 
@@ -331,36 +577,74 @@ def collate_dense_packed(
         sf, ef = caps[lv].nodes, caps[lv].edges
         p_t = np.zeros((nb, sc, sf), np.float32)
         p_s = np.zeros((nb, ec, ef), np.float32)
+        cnt_t = np.zeros(nb * sc, np.float64)
+        cnt_s = np.zeros(nb * ec, np.float64)
+        ent_t: list[tuple[np.ndarray, np.ndarray]] = []
+        ent_s: list[tuple[np.ndarray, np.ndarray]] = []
         for i, s in enumerate(samples):
-            b, fn, fe = offs[lv][i]
-            _, cn_off, ce_off = offs[lv + 1][i]
+            fn, fe = offs[lv][i]
+            cn_off, ce_off = offs[lv + 1][i]
             c_node, c_edge = s.pools[lv]
-            cn = c_node.reshape(-1)
+            cn = np.asarray(c_node).reshape(-1)
             idx = np.nonzero(cn >= 0)[0]
-            p_t[b, cn_off + cn[idx], fn + idx] = 1.0
-            ce = c_edge.reshape(-1)
+            r_gl = cn_off + cn[idx].astype(np.int64)
+            c_gl = fn + idx.astype(np.int64)
+            np.add.at(cnt_t, r_gl, 1.0)
+            ent_t.append((r_gl, c_gl))
+            ce = np.asarray(c_edge).reshape(-1)
             idx = np.nonzero(ce >= 0)[0]
-            p_s[b, ce_off + ce[idx], fe + idx] = 1.0
-        for b in range(nb):
-            for p in (p_t, p_s):
-                rs = p[b].sum(axis=1, keepdims=True)
-                p[b] = p[b] / np.maximum(rs, 1.0)
-        pools.append(DensePool(p_t=p_t, p_s=p_s))
+            r_gl = ce_off + ce[idx].astype(np.int64)
+            c_gl = fe + idx.astype(np.int64)
+            np.add.at(cnt_s, r_gl, 1.0)
+            ent_s.append((r_gl, c_gl))
+        spt = [[], [], []]
+        sps = [[], [], []]
+        for (dense, cnt, ents, s_r, s_c, spill) in (
+            (p_t, cnt_t, ent_t, sc, sf, spt),
+            (p_s, cnt_s, ent_s, ec, ef, sps),
+        ):
+            for r_gl, c_gl in ents:
+                v = (1.0 / np.maximum(cnt[r_gl], 1.0)).astype(np.float32)
+                br, bc = r_gl // s_r, c_gl // s_c
+                same = br == bc
+                dense[br[same], r_gl[same] % s_r, c_gl[same] % s_c] = v[same]
+                if not same.all():
+                    spill[0].append(r_gl[~same])
+                    spill[1].append(c_gl[~same])
+                    spill[2].append(v[~same])
+
+        def finp(spill, shape):
+            if not spill[0]:
+                return None
+            return _make_spill(
+                np.concatenate(spill[0]), np.concatenate(spill[1]),
+                np.concatenate(spill[2]), shape,
+                pad_multiple=spill_pad_multiple,
+            )
+
+        pools.append(DensePool(
+            p_t=p_t, p_s=p_s,
+            p_t_sp=finp(spt, (nb * sc, nb * sf)),
+            p_s_sp=finp(sps, (nb * ec, nb * ef)),
+        ))
 
     ft = samples[0].x_t.shape[1]
     fs = samples[0].x_s.shape[1]
-    x_t = np.zeros((nb, caps[0].nodes, ft), np.float32)
-    x_s = np.zeros((nb, caps[0].edges, fs), np.float32)
+    x_t = np.zeros((nb * caps[0].nodes, ft), np.float32)
+    x_s = np.zeros((nb * caps[0].edges, fs), np.float32)
     for i, s in enumerate(samples):
-        b, no, eo = offs[0][i]
-        x_t[b, no : no + s.num_nodes] = s.x_t
-        x_s[b, eo : eo + s.num_edges] = s.x_s
+        ns, es = offs[0][i]
+        x_t[ns : ns + s.num_nodes] = s.x_t
+        x_s[es : es + s.num_edges] = s.x_s
+    x_t = x_t.reshape(nb, caps[0].nodes, ft)
+    x_s = x_s.reshape(nb, caps[0].edges, fs)
 
     if y_per_edge:
-        y = np.zeros((nb, caps[0].edges) + samples[0].y.shape[1:], np.float32)
+        y = np.zeros((nb * caps[0].edges,) + samples[0].y.shape[1:], np.float32)
         for i, s in enumerate(samples):
-            b, _, eo = offs[0][i]
-            y[b, eo : eo + s.num_edges] = s.y
+            _, es = offs[0][i]
+            y[es : es + s.num_edges] = s.y
+        y = y.reshape((nb, caps[0].edges) + samples[0].y.shape[1:])
     else:
         y = np.stack([np.asarray(s.y, np.float32).reshape(-1) for s in samples])
 

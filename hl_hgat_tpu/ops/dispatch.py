@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from hl_hgat_tpu.complex.batch import ComplexLevel, CooMatrix, PoolMap
-from hl_hgat_tpu.complex.dense import DenseLevel, DensePool
+from hl_hgat_tpu.complex.dense import BlockDiagMatrix, DenseLevel, DensePool
 from hl_hgat_tpu.ops import boundary as B
 from hl_hgat_tpu.ops.segment import segment_mean
 from hl_hgat_tpu.ops.spmm import spmm_coo
@@ -28,6 +28,23 @@ def _bmm(a: Array, b: Array) -> Array:
     return jnp.einsum(
         "gij,gj...->gi...", a, b, preferred_element_type=jnp.float32
     ).astype(b.dtype)
+
+
+def _spill_add(y: Array, spill: CooMatrix | None, x: Array,
+               *, transpose: bool = False, absolute: bool = False) -> Array:
+    """y += (|S| or S or Sᵀ) @ x over flattened block slots.
+
+    ``x``/``y`` are [G, S, C] dense-block tensors; the spill CooMatrix
+    indexes their flattened G·S row space (complex/dense.py collate)."""
+    if spill is None:
+        return y
+    flat = x.reshape(-1, x.shape[-1])
+    rows, cols = (spill.cols, spill.rows) if transpose else (
+        spill.rows, spill.cols)
+    vals = jnp.abs(spill.vals) if absolute else spill.vals
+    n_out = y.shape[0] * y.shape[1]
+    corr = spmm_coo(rows, cols, vals.astype(flat.dtype), flat, n_out)
+    return y + corr.reshape(y.shape).astype(y.dtype)
 
 
 # x (and one temp of the same size) must sit in VMEM alongside the ELL
@@ -87,6 +104,10 @@ def lap_matvec(lap, x: Array) -> Array:
         else:
             out = spmm_coo(lap.rows, lap.cols, lap.vals, flat, lap.shape[0])
         return out.reshape(x.shape)
+    if isinstance(lap, BlockDiagMatrix):
+        # large-graph dense path: batched within-block matmul + COO spill
+        # correction for entries crossing 128-row block boundaries
+        return _spill_add(_bmm(lap.blocks, x), lap.spill, x)
     return _bmm(lap, x)
 
 
@@ -97,7 +118,8 @@ def abs_b1_s2t(level, x_s: Array) -> Array:
             x_s, level.src, level.dst, level.num_nodes,
             edge_mask=level.edge_mask,
         )
-    return _bmm(jnp.abs(level.b1), x_s)
+    out = _bmm(jnp.abs(level.b1), x_s)
+    return _spill_add(out, level.b1_sp, x_s, absolute=True)
 
 
 def abs_b1_t2s(level, x_t: Array) -> Array:
@@ -106,10 +128,11 @@ def abs_b1_t2s(level, x_t: Array) -> Array:
         return B.boundary_abs_t2s(
             x_t, level.src, level.dst, edge_mask=level.edge_mask
         )
-    return jnp.einsum(
+    out = jnp.einsum(
         "gse,gsf->gef", jnp.abs(level.b1), x_t,
         preferred_element_type=jnp.float32,
     ).astype(x_t.dtype)
+    return _spill_add(out, level.b1_sp, x_t, transpose=True, absolute=True)
 
 
 def b1_t2s(level, x_t: Array) -> Array:
@@ -118,9 +141,10 @@ def b1_t2s(level, x_t: Array) -> Array:
         return B.boundary_t2s(
             x_t, level.src, level.dst, edge_mask=level.edge_mask
         )
-    return jnp.einsum(
+    out = jnp.einsum(
         "gse,gsf->gef", level.b1, x_t, preferred_element_type=jnp.float32
     ).astype(x_t.dtype)
+    return _spill_add(out, level.b1_sp, x_t, transpose=True)
 
 
 def masked_mean_nodes(level, x: Array, num_graphs: int) -> Array:
@@ -168,8 +192,10 @@ def pool_to_coarse(pool, fine, coarse, x_t: Array, x_s: Array):
         x_s_c = x_s_c * coarse.edge_mask[:, None].astype(x_s_c.dtype)
         return x_t_c, x_s_c
     assert isinstance(pool, DensePool)
-    x_t_c = _bmm(pool.p_t, x_t) * coarse.node_mask[..., None]
-    x_s_c = _bmm(pool.p_s, x_s) * coarse.edge_mask[..., None]
+    x_t_c = _spill_add(_bmm(pool.p_t, x_t), pool.p_t_sp, x_t)
+    x_s_c = _spill_add(_bmm(pool.p_s, x_s), pool.p_s_sp, x_s)
+    x_t_c = x_t_c * coarse.node_mask[..., None]
+    x_s_c = x_s_c * coarse.edge_mask[..., None]
     return x_t_c, x_s_c
 
 
@@ -190,31 +216,41 @@ def cast_operators(batch, dtype):
     if dtype == jnp.float32:
         return batch
 
+    def cast_coo(m):
+        if not isinstance(m, CooMatrix):
+            return m  # HaloShard etc. manage their own dtypes
+        return dataclasses.replace(
+            m,
+            vals=m.vals.astype(dtype),
+            ell_vals=None if m.ell_vals is None
+            else m.ell_vals.astype(dtype),
+        )
+
+    def cast_op(m):
+        if isinstance(m, BlockDiagMatrix):
+            return dataclasses.replace(
+                m, blocks=m.blocks.astype(dtype), spill=cast_coo(m.spill)
+            )
+        return m.astype(dtype)
+
     def cast_level(lvl):
         if isinstance(lvl, ComplexLevel):
-            def cast_coo(m):
-                if not isinstance(m, CooMatrix):
-                    return m  # HaloShard etc. manage their own dtypes
-                return dataclasses.replace(
-                    m,
-                    vals=m.vals.astype(dtype),
-                    ell_vals=None if m.ell_vals is None
-                    else m.ell_vals.astype(dtype),
-                )
-
             return dataclasses.replace(lvl, l0=cast_coo(lvl.l0),
                                        l1=cast_coo(lvl.l1))
         if isinstance(lvl, DenseLevel):
             return dataclasses.replace(
-                lvl, l0=lvl.l0.astype(dtype), l1=lvl.l1.astype(dtype),
+                lvl, l0=cast_op(lvl.l0), l1=cast_op(lvl.l1),
                 b1=lvl.b1.astype(dtype),
+                b1_sp=None if lvl.b1_sp is None else cast_coo(lvl.b1_sp),
             )
         return lvl
 
     def cast_pool(p):
         if isinstance(p, DensePool):
             return dataclasses.replace(
-                p, p_t=p.p_t.astype(dtype), p_s=p.p_s.astype(dtype)
+                p, p_t=p.p_t.astype(dtype), p_s=p.p_s.astype(dtype),
+                p_t_sp=None if p.p_t_sp is None else cast_coo(p.p_t_sp),
+                p_s_sp=None if p.p_s_sp is None else cast_coo(p.p_s_sp),
             )
         return p
 

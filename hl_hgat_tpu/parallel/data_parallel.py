@@ -43,6 +43,7 @@ def make_dp_train_step(
     mesh: Mesh,
     pe_flip_node_static: "int | None" = None,
     pe_flip_edge_static: "int | None" = None,
+    tsp_aug_prob: "float | None" = None,
 ) -> Callable:
     """Build the jitted data-parallel training step.
 
@@ -73,6 +74,12 @@ def make_dp_train_step(
             if pe_flip_edge_static is not None:
                 x_s = pe_sign_flip(k_s, x_s, num_static=pe_flip_edge_static)
             batch = batch.replace(x_t=x_t, x_s=x_s)
+        if tsp_aug_prob is not None:
+            from hl_hgat_tpu.complex.augment import tsp_dropout_device
+
+            batch = tsp_dropout_device(
+                jax.random.fold_in(rng, 2), batch, apply_prob=tsp_aug_prob
+            )
 
         def compute_loss(params):
             out, mutated = model.apply(

@@ -51,6 +51,7 @@ class DataParallelTrainer(Trainer):
             model, self.tx, lambda out, b: self._loss_fn(out, b), mesh,
             pe_flip_node_static=config.pe_flip_node_static,
             pe_flip_edge_static=config.pe_flip_edge_static,
+            tsp_aug_prob=config.tsp_aug_prob,
         )
 
     def train_epoch(self, state, batches):

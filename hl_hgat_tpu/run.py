@@ -38,11 +38,20 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--folds", type=int, default=5)
     p.add_argument("--fold", type=int, default=-1)
     p.add_argument("--test", type=int, default=0)
-    p.add_argument("--aug_variants", type=int, default=1,
-                   help="TSP/CIFAR10-SP structure augmentation: preprocess "
+    p.add_argument("--aug_variants", type=int, default=-1,
+                   help="CIFAR10-SP structure augmentation: preprocess "
                         "N independent dropout rolls per training graph and "
                         "cycle one per epoch (the reference re-rolls at "
-                        "load time every epoch; 1 = no structure aug)")
+                        "load time every epoch; -1 = auto: 8 for the "
+                        "cifar10sp train split, else 1.  TSP instead uses "
+                        "the on-device per-step dropout (--tsp_aug_prob); "
+                        "passing an explicit N>1 for tsp switches it to "
+                        "host-side variants)")
+    p.add_argument("--tsp_aug_prob", type=float, default=0.75,
+                   help="TSP on-device structure augmentation: probability "
+                        "a graph gets a label-protected edge-simplex "
+                        "dropout roll each step (reference aug_prob, "
+                        "main_TSP...py:404; 0 = off)")
     p.add_argument("--ckpt_every", type=int, default=0,
                    help="also save full state every N epochs to "
                         "<ckpt_dir>/latest (crash recovery; 0 = off)")
@@ -101,9 +110,12 @@ BENCH_SETTINGS = {
     # pe_static = leading non-PE feature columns (node, edge): enables the
     # device-side eigen-PE sign-flip augmentation matching the reference's
     # load-time flips (reference lib/Hodge_Dataset.py:428-439; TSP carries
-    # no PE).  The reference's per-epoch STRUCTURE augs (TSP node dropout,
-    # CIFAR edge dropout) are preprocessing-time only here (data/ingest.py
-    # docstring).
+    # no PE).  The reference's per-epoch STRUCTURE augs: TSP label-protected
+    # edge-simplex dropout runs ON DEVICE per step (TrainerConfig
+    # tsp_aug_prob, complex/augment.py tsp_dropout_device); CIFAR edge
+    # dropout rebuilds the whole complex (spectra, PEs, pyramid — reference
+    # lib/Hodge_Dataset.py:829-882) so it stays host-side via precomputed
+    # --aug_variants (auto-default 8 for the train split).
     "zinc": dict(task="regression", metric_mode="min", save_gate=0.4,
                  denorm=2.0109, patience=10, pe_static=(1, 1)),
     "pepfunc": dict(task="multilabel", metric_mode="max", save_gate=0.5,
@@ -180,6 +192,14 @@ def main(argv=None) -> None:
     from hl_hgat_tpu.data.loader import BucketedLoader
     from hl_hgat_tpu.train import Trainer, TrainerConfig
 
+    if args.aug_variants == -1:  # auto: reference-faithful defaults
+        args.aug_variants = 8 if args.benchmark == "cifar10sp" else 1
+    tsp_aug_prob = (
+        args.tsp_aug_prob
+        if (args.benchmark == "tsp" and args.tsp_aug_prob > 0
+            and args.aug_variants <= 1 and not args.test)
+        else None
+    )
     settings = BENCH_SETTINGS[args.benchmark]
     folds = [args.fold] if args.fold >= 0 else list(range(args.folds))
     if args.fused:
@@ -218,6 +238,7 @@ def main(argv=None) -> None:
             seed=fold,
             pe_flip_node_static=(settings["pe_static"] or (None, None))[0],
             pe_flip_edge_static=(settings["pe_static"] or (None, None))[1],
+            tsp_aug_prob=tsp_aug_prob,
         )
         if args.dp > 1:
             from hl_hgat_tpu.parallel import DataParallelTrainer

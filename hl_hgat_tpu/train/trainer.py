@@ -62,6 +62,12 @@ class TrainerConfig:
     # sample on CPU, lib/Hodge_Dataset.py:429-439; here per batch on device)
     pe_flip_node_static: int | None = None
     pe_flip_edge_static: int | None = None
+    # on-device TSP structure augmentation: fresh label-protected edge-
+    # simplex dropout (L1 masking + logit-mask column) each step at static
+    # shapes (complex/augment.py tsp_dropout_device; reference
+    # lib/Hodge_Dataset.py:690-708 applies it per sample at load time with
+    # aug_prob=0.75).  None = off; else the apply probability.
+    tsp_aug_prob: float | None = None
     # collate batch k+1 on a daemon thread while step k dispatches (the
     # reference's DataLoader num_workers analog, data/prefetch.py); 0 = off
     prefetch: int = 2
@@ -213,6 +219,13 @@ class Trainer:
             if cfg.pe_flip_edge_static is not None:
                 x_s = pe_sign_flip(k_s, x_s, num_static=cfg.pe_flip_edge_static)
             batch = batch.replace(x_t=x_t, x_s=x_s)
+        if cfg.tsp_aug_prob is not None:
+            from hl_hgat_tpu.complex.augment import tsp_dropout_device
+
+            batch = tsp_dropout_device(
+                jax.random.fold_in(step_rng, 2), batch,
+                apply_prob=cfg.tsp_aug_prob,
+            )
 
         def loss_fn(params):
             out, new_stats = self._apply(
