@@ -146,16 +146,18 @@ def iter_lrgb(
 def iter_peptides_func(
     root: str, split: str = "train", *, keig: int = 100
 ) -> Iterator[GraphSample]:
-    """Parse the released peptides-func pickles into simplex samples.
+    """Parse the released peptides-func raw files into simplex samples.
 
-    Format (reference lib/LRGBDataset.py peptides branch): a pickle per split
-    with lists of (edge_index, edge_attr, x, y) arrays, or torch-saved
-    dicts; both layouts are handled."""
+    Format (reference lib/LRGBDataset.py peptides branch, :218-231): a
+    torch-saved ``{split}.pt`` per split holding a list of tuples
+    ``(x[n,9], edge_attr[e,3], edge_index[2,e], y[1,10])`` — the same tuple
+    order as every other LRGB dataset.  Dict-shaped exports are tolerated
+    too (keys edge_index/edge_attr/x/y)."""
     raw = _raw_dir(root, "peptides-func")
     candidates = [
+        os.path.join(raw, f"{split}.pt"),
         os.path.join(raw, f"{split}.pickle"),
         os.path.join(raw, f"peptides_{split}.pickle"),
-        os.path.join(raw, f"{split}.pt"),
     ]
     path = next((p for p in candidates if os.path.exists(p)), None)
     if path is None:
@@ -178,5 +180,5 @@ def iter_peptides_func(
             x = np.asarray(g["x"])
             y = np.asarray(g["y"])
         else:
-            ei, ea, x, y = (np.asarray(t) for t in g)
+            x, ea, ei, y = (np.asarray(t) for t in g)
         yield peptides_sample(ei, ea, x, y, keig=keig)

@@ -258,6 +258,57 @@ class TestCacheAndLoader:
         assert len(samples2) == 2
         assert samples2[0].extra["edge_label"].shape == (5,)
 
+    def test_coco_sp_label_remap(self, rng, tmp_path):
+        """COCO-SP raw labels are non-contiguous ids (reference
+        lib/LRGBDataset.py label_remap_coco); the parser must remap them to
+        0..80 exactly as the reference does."""
+        import pickle
+
+        from hl_hgat_tpu.data.lrgb import iter_lrgb
+
+        raw = tmp_path / "coco-sp" / "raw"
+        raw.mkdir(parents=True)
+        n = 8
+        ei = toy_graph(rng, n)
+        # original ids including gaps: 13 -> 12, 90 -> 80, 0 -> 0
+        y_raw = np.asarray([0, 1, 13, 27, 46, 67, 84, 90])
+        graphs = [(
+            rng.random((n, 14)).astype(np.float32),
+            rng.random((ei.shape[1], 2)).astype(np.float32),
+            ei, y_raw,
+        )]
+        with open(raw / "val.pickle", "wb") as f:
+            pickle.dump(graphs, f)
+        (s,) = list(iter_lrgb(str(tmp_path), "coco-sp", "val", keig=4))
+        np.testing.assert_array_equal(
+            s.y.reshape(-1), [0, 1, 12, 25, 41, 61, 74, 80]
+        )
+
+    def test_peptides_func_tuple_layout(self, rng, tmp_path):
+        """iter_peptides_func parses the reference tuple order
+        (x, edge_attr, edge_index, y) from {split}.pt
+        (lib/LRGBDataset.py:218-231)."""
+        import torch
+
+        from hl_hgat_tpu.data.lrgb import iter_peptides_func
+
+        raw = tmp_path / "peptides-func" / "raw"
+        raw.mkdir(parents=True)
+        n = 11
+        ei = toy_graph(rng, n)
+        x = rng.random((n, 9)).astype(np.float32)
+        graphs = [(
+            torch.tensor(x),
+            torch.tensor(rng.random((ei.shape[1], 3)).astype(np.float32)),
+            torch.tensor(ei),
+            torch.tensor(rng.integers(0, 2, (1, 10)).astype(np.float32)),
+        )]
+        torch.save(graphs, raw / "val.pt")
+        (s,) = list(iter_peptides_func(str(tmp_path), "val", keig=4))
+        assert s.x_t.shape == (n, 9 + 3)
+        np.testing.assert_allclose(s.x_t[:, :9], x)
+        assert s.y.shape == (10,)
+
     def test_bucketed_loader_dense_packed_pyramid(self, rng):
         """Packed layout with an MLGC pyramid: static shapes across epochs,
         coarse levels capped by the level-0 caps."""

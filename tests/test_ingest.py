@@ -125,6 +125,62 @@ class TestIngest:
         assert s.x_t.shape[1] == 3 + 2 + 4
         assert s.y[0] == 7
 
+    def test_pepfunc_raw_pt_reference_tuples(self, tmp_path):
+        """peptides-func raw format per reference lib/LRGBDataset.py:218-231:
+        torch-saved {split}.pt of (x[n,9], edge_attr[e,3], edge_index[2,e],
+        y[1,10]) TUPLES — tuple order must match the reference exactly."""
+        import torch
+
+        root = str(tmp_path)
+        raw = os.path.join(root, "peptides-func", "raw")
+        os.makedirs(raw)
+        rng = np.random.default_rng(4)
+        graphs = []
+        for _ in range(3):
+            n = 15
+            ei = _ring_edges(n)
+            # distinctive shapes so a swapped unpack cannot pass by accident
+            graphs.append((
+                torch.tensor(rng.random((n, 9)), dtype=torch.float32),
+                torch.tensor(
+                    rng.random((ei.shape[1], 3)), dtype=torch.float32
+                ),
+                torch.tensor(ei),
+                torch.tensor(
+                    rng.integers(0, 2, (1, 10)), dtype=torch.float32
+                ),
+            ))
+        torch.save(graphs, os.path.join(raw, "train.pt"))
+        samples = load_samples("pepfunc", root, "train", keig=5, num_pool=1)
+        assert len(samples) == 3
+        s = samples[0]
+        assert s.x_t.shape == (15, 9 + 4)  # 9 raw + (keig-1) PE
+        assert s.x_s.shape[1] == 3 + 4
+        assert s.y.shape == (10,)
+        assert len(s.levels) == 2 and len(s.pools) == 1  # MLGC pyramid
+        # cache round trip serves identical arrays
+        again = load_samples("pepfunc", root, "train", keig=5, num_pool=1)
+        np.testing.assert_array_equal(again[1].x_s, samples[1].x_s)
+        # loader -> one forward pass of the pepfunc model (end-to-end)
+        from hl_hgat_tpu.data.loader import BucketedLoader
+        from hl_hgat_tpu.models import presets
+
+        loader = BucketedLoader(
+            samples, batch_size=3, layout="dense_packed", node_cap=32,
+            edge_cap=32, shuffle=False,
+        )
+        (batch,) = list(loader)
+        model, _ = presets.pepfunc_attpool(
+            channels=(1, 1), filters=(8, 8), k=2, keig=5, dropout=0.0,
+            mlp_channels=(8,),
+        )
+        import jax
+
+        params = model.init(jax.random.PRNGKey(0), batch, deterministic=True)
+        out = model.apply(params, batch, deterministic=True)
+        pred = out[0] if isinstance(out, tuple) else out
+        assert np.isfinite(np.asarray(pred)).all()
+
     def test_missing_raw_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             load_samples("tsp", str(tmp_path), "train")
