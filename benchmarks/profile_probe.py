@@ -1,14 +1,18 @@
-"""One-shot jax.profiler trace of the flagship step on the tunneled TPU.
+"""One-shot jax.profiler trace of a training step on the tunneled TPU.
 
-Writes a trace to /tmp/hlhgat_trace; if device events arrive through the
-tunnel, the xplane protos give the op-level time breakdown.  Falls back
-gracefully if the backend doesn't support remote tracing.
+Writes a trace to /tmp/hlhgat_trace_{which}; if device events arrive through
+the tunnel, decode them with benchmarks/xplane/parse_trace.py (the protoc-
+compiled xplane schema — TF's own protos are absent here) to get the
+op-level time breakdown behind the roofline verdict in RESULTS.md.
 
-    python benchmarks/profile_probe.py
+    python benchmarks/profile_probe.py [flagship|tsp] [scan_steps]
+
+Falls back gracefully if the backend doesn't support remote tracing.
 """
 
 from __future__ import annotations
 
+import dataclasses as _dc
 import glob
 import os
 import pickle
@@ -22,20 +26,39 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    except Exception:
-        pass
+def make_step(which: str, scan_steps: int):
     from hl_hgat_tpu.models import presets
     from hl_hgat_tpu.train import Trainer, TrainerConfig
 
-    cache = "/tmp/hlhgat_bench_packed_256.pkl"
-    with open(cache, "rb") as fh:
-        batch = pickle.load(fh)
+    if which == "flagship":
+        cache = "/tmp/hlhgat_bench_packed_320.pkl"
+        with open(cache, "rb") as fh:
+            batch = pickle.load(fh)
+        model, _ = presets.zinc_pyr(compute_dtype="bfloat16", remat=False)
+        model = _dc.replace(
+            model, cfg=_dc.replace(model.cfg, stack_concat="block")
+        )
+        tr = Trainer(model, TrainerConfig(task="regression", lr=1e-3,
+                                          weight_decay=1e-3))
+    elif which == "tsp":
+        with open("/tmp/hlhgat_tsp_samples_64.pkl", "rb") as fh:
+            samples = pickle.load(fh)
+        from hl_hgat_tpu.complex.dense import collate_dense_packed
+
+        batch = collate_dense_packed(
+            samples, node_cap=128, edge_cap=512, y_per_edge=True
+        )
+        model, _ = presets.tsp_pyr(
+            channels=(2, 2, 2), filters=(64, 128, 256), k=2, dropout=0.0,
+            mlp_channels=(256,),
+        )
+        model = _dc.replace(
+            model, cfg=_dc.replace(model.cfg, compute_dtype="bfloat16")
+        )
+        tr = Trainer(model, TrainerConfig(task="edge_binary", lr=1e-3))
+    else:
+        raise SystemExit(f"unknown target {which}")
     batch = jax.tree.map(jnp.asarray, batch)
-    model, _ = presets.zinc_pyr(compute_dtype="bfloat16", remat=False)
-    tr = Trainer(model, TrainerConfig(task="regression"))
     state = tr.init_state(batch)
 
     @jax.jit
@@ -44,12 +67,23 @@ def main():
             s, loss = tr._train_step_impl(s, batch)
             return s, loss
 
-        return jax.lax.scan(body, state, None, length=50)
+        return jax.lax.scan(body, state, None, length=scan_steps)
 
+    return multi, state, batch
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "flagship"
+    scan_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    except Exception:
+        pass
+    multi, state, batch = make_step(which, scan_steps)
     state, losses = multi(state, batch)
-    np.asarray(losses)  # warm
+    np.asarray(losses)  # warm + barrier
 
-    logdir = "/tmp/hlhgat_trace"
+    logdir = f"/tmp/hlhgat_trace_{which}"
     try:
         jax.profiler.start_trace(logdir)
         state, losses = multi(state, batch)
@@ -59,9 +93,10 @@ def main():
         print("tracing failed:", e)
         return
     files = glob.glob(logdir + "/**/*.xplane.pb", recursive=True)
-    print("trace files:", files)
     for f in files:
         print(f, os.path.getsize(f), "bytes")
+    if not files:
+        print("no trace files produced")
 
 
 if __name__ == "__main__":
