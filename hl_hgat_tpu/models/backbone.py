@@ -30,7 +30,12 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from hl_hgat_tpu.complex.batch import ComplexBatch, ComplexLevel
-from hl_hgat_tpu.nn.blocks import ConvBNAct, NEConvPair, activation
+from hl_hgat_tpu.nn.blocks import (
+    ConvBNAct,
+    NEConvPair,
+    activation,
+    merged_conv_pair,
+)
 from hl_hgat_tpu.nn.conv import LaguerreConv
 from hl_hgat_tpu.nn.interaction import NodeEdgeInt
 from hl_hgat_tpu.nn.linear import TorchLinear
@@ -129,15 +134,30 @@ class DenseInt3Backbone(nn.Module):
         deg = level.deg + cfg.deg_eps
         snapshots: list[tuple[Array, Array]] = []
 
-        # HL_init_conv (reference lib/Hodge_ST_Model.py:556-568)
-        x_t = ConvBNAct(
+        # HL_init_conv (reference lib/Hodge_ST_Model.py:556-568); the two
+        # paths run as ONE merged recurrence/GEMM chain when the dense-block
+        # layouts line up (nn/blocks.py merged_conv_pair — falls back to
+        # separate execution for COO layouts or unequal feature widths)
+        init_node = ConvBNAct(
             cfg.filters[0], cfg.init_k, cfg.act, cfg.leaky_slope, cfg.dropout,
             name="init_node",
-        )(x_t, level.l0, level.node_mask, deterministic=deterministic)
-        x_s = ConvBNAct(
+        )
+        init_edge = ConvBNAct(
             cfg.filters[0], cfg.init_k, cfg.act, cfg.leaky_slope, cfg.dropout,
             name="init_edge",
-        )(x_s, level.l1, level.edge_mask, deterministic=deterministic)
+        )
+        merged_init = merged_conv_pair(
+            init_node, init_edge, x_t, x_s, level, deterministic
+        )
+        if merged_init is not None:
+            x_t, x_s = merged_init
+        else:
+            x_t = init_node(
+                x_t, level.l0, level.node_mask, deterministic=deterministic
+            )
+            x_s = init_edge(
+                x_s, level.l1, level.edge_mask, deterministic=deterministic
+            )
         # The dense-concat stacks are carried as tuples of column pieces
         # (virtual concats, nn/interaction.py _as_pieces): MSI consumes them
         # piecewise via kernel row-slices, so the O(L²) stack concats are
@@ -333,12 +353,19 @@ class HLHGCNNGraph(nn.Module):
         x_t, x_s = batch.x_t, batch.x_s
         if self.embed_num:
             table = nn.Embed(self.embed_num, self.embed_dim, name="node_embedding")
+            # embed_lookup: gather forward, one-hot-matmul BACKWARD (the
+            # autodiff scatter for the table gradient measured 64 us/step;
+            # ops/segment.py embed_lookup)
+            from hl_hgat_tpu.ops.segment import embed_lookup
+
             x_t = jnp.concatenate(
-                [table(x_t[..., 0].astype(jnp.int32)), x_t[..., 1:]], axis=-1
+                [embed_lookup(table.embedding, x_t[..., 0].astype(jnp.int32)),
+                 x_t[..., 1:]], axis=-1
             )
             # reference quirk: edge ids go through the node table too
             x_s = jnp.concatenate(
-                [table(x_s[..., 0].astype(jnp.int32)), x_s[..., 1:]], axis=-1
+                [embed_lookup(table.embedding, x_s[..., 0].astype(jnp.int32)),
+                 x_s[..., 1:]], axis=-1
             )
             x_t = apply_node_mask(batch.level0, x_t)
             x_s = apply_edge_mask(batch.level0, x_s)

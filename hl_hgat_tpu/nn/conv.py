@@ -288,7 +288,7 @@ class LaguerreConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: Array, lap) -> Array:
+    def __call__(self, x: Array, lap, *, just_params: bool = False):
         c_in = x.shape[-1]
         w = self.param("weights", glorot_per_term, (self.k, c_in, self.features))
         b = (
@@ -296,6 +296,12 @@ class LaguerreConv(nn.Module):
             if self.use_bias
             else None
         )
+        if just_params:
+            # parameter tap for the merged node/edge pair execution
+            # (nn/blocks.py merged_conv_pair): params are created in THIS
+            # scope — the tree is identical to the unmerged path — while the
+            # caller runs the recurrence + GEMM on the concatenated blocks
+            return w, b
         return laguerre_matvec(x, lap, w, b)
 
 

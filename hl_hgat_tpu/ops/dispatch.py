@@ -147,18 +147,39 @@ def b1_t2s(level, x_t: Array) -> Array:
     return _spill_add(out, level.b1_sp, x_t, transpose=True)
 
 
+# Scatter readouts measured ~10x below stream bandwidth on the packed
+# layout (99 us per 4.7 MB segment-sum; benchmarks/RESULTS.md round-2
+# profile); the one-hot matmul form wins whenever its [G, rows] matrix
+# stays modest.  Kill switch: HLHGAT_MATMUL_READOUT=0.
+_MATMUL_READOUT_MAX_ELEMS = 32 * 1024 * 1024
+
+
+def _matmul_readout_ok(rows: int, num_segments: int) -> bool:
+    import os
+
+    if os.environ.get("HLHGAT_MATMUL_READOUT", "1") != "1":
+        return False
+    return rows * num_segments <= _MATMUL_READOUT_MAX_ELEMS
+
+
+def _packed_mean(x, gid, mask, num_graphs):
+    flat = x.reshape(-1, x.shape[-1])
+    gid = gid.reshape(-1)
+    w = mask.reshape(-1)
+    if _matmul_readout_ok(flat.shape[0], num_graphs):
+        from hl_hgat_tpu.ops.segment import segment_mean_onehot
+
+        return segment_mean_onehot(flat, gid, num_graphs, weights=w)
+    return segment_mean(flat, gid, num_graphs, weights=w)
+
+
 def masked_mean_nodes(level, x: Array, num_graphs: int) -> Array:
     """Per-graph mean over valid nodes → [G, F]."""
     if isinstance(level, ComplexLevel):
         return segment_mean(x, level.n_id, num_graphs, weights=level.node_mask)
     if level.n_gid is not None:
         # packed superblocks: rows of one tile belong to several graphs
-        return segment_mean(
-            x.reshape(-1, x.shape[-1]),
-            level.n_gid.reshape(-1),
-            num_graphs,
-            weights=level.node_mask.reshape(-1),
-        )
+        return _packed_mean(x, level.n_gid, level.node_mask, num_graphs)
     m = level.node_mask[..., None]
     return jnp.sum(x * m, axis=1) / jnp.maximum(
         jnp.sum(m, axis=1), 1.0
@@ -169,12 +190,7 @@ def masked_mean_edges(level, x: Array, num_graphs: int) -> Array:
     if isinstance(level, ComplexLevel):
         return segment_mean(x, level.s_id, num_graphs, weights=level.edge_mask)
     if level.s_gid is not None:
-        return segment_mean(
-            x.reshape(-1, x.shape[-1]),
-            level.s_gid.reshape(-1),
-            num_graphs,
-            weights=level.edge_mask.reshape(-1),
-        )
+        return _packed_mean(x, level.s_gid, level.edge_mask, num_graphs)
     m = level.edge_mask[..., None]
     return jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
 

@@ -128,3 +128,76 @@ def segment_softmax(
     denom = jax.ops.segment_sum(expx, segment_ids, num_segments=num_segments)
     denom = jnp.maximum(denom, 1e-16)
     return (expx / denom[segment_ids]).astype(logits.dtype)
+
+
+# ---------------------------------------------------------------------------
+# MXU-routed segment ops (round-2 profile findings, benchmarks/RESULTS.md):
+# on the packed dense layout the scatter-based graph readout ran ~10x below
+# stream bandwidth (99 us for a 4.7 MB segment-sum) and the embedding-table
+# gradient scatter ~16x below.  For SMALL segment counts both are cheaper as
+# one-hot matmuls: the one-hot matrix is built from step-invariant ids, so
+# XLA hoists it out of a scanned training loop, and the matmul (forward AND
+# transpose backward) rides the MXU scatter-free.
+
+def segment_mean_onehot(
+    data: Array,
+    segment_ids: Array,
+    num_segments: int,
+    *,
+    weights: Array | None = None,
+) -> Array:
+    """`segment_mean` as a one-hot matmul — use when
+    ``rows x num_segments`` is small (readouts, pooled heads).
+
+    Exact products (one-hot entries and 0/1 weights are exact in bf16);
+    f32 accumulation like `segment_sum`, summation order differs only.
+    """
+    onehot = (
+        segment_ids[None, :]
+        == jnp.arange(num_segments, dtype=segment_ids.dtype)[:, None]
+    )
+    w32 = (
+        onehot.astype(jnp.float32)
+        if weights is None
+        else onehot.astype(jnp.float32) * weights.astype(jnp.float32)[None, :]
+    )
+    count = w32.sum(axis=1)  # [G], step-invariant -> hoisted
+    m = w32.astype(data.dtype if data.dtype == jnp.bfloat16 else jnp.float32)
+    total = jnp.einsum(
+        "gr,rf->gf", m, data, preferred_element_type=jnp.float32
+    )
+    denom = jnp.maximum(count, 1.0)
+    return (total / denom[:, None]).astype(data.dtype)
+
+
+@jax.custom_vjp
+def embed_lookup(table: Array, ids: Array) -> Array:
+    """``table[ids]`` whose BACKWARD is a one-hot matmul, not a scatter.
+
+    The forward gather is fast on TPU; autodiff's backward scatter-add is
+    not (measured 64 us for a [9216] -> [28, 49] table gradient).  dTable =
+    onehotᵀ @ g runs on the MXU in f32 (vocabulary axes here are tiny)."""
+    return table[ids]
+
+
+def _embed_lookup_fwd(table, ids):
+    # dtype carried as a zero-size array (np.dtype is not a JAX type)
+    return table[ids], (ids, table.shape, jnp.zeros((0,), table.dtype))
+
+
+def _embed_lookup_bwd(res, g):
+    ids, shape, tproto = res
+    ids_flat = ids.reshape(-1)
+    g_flat = g.reshape(len(ids_flat), shape[1]).astype(jnp.float32)
+    onehot = (
+        ids_flat[:, None] == jnp.arange(shape[0], dtype=ids_flat.dtype)[None, :]
+    ).astype(jnp.float32)
+    dtable = jnp.einsum(
+        "rv,rf->vf", onehot, g_flat, preferred_element_type=jnp.float32
+    )
+    import numpy as _np
+
+    return dtable.astype(tproto.dtype), _np.zeros(ids.shape, jax.dtypes.float0)
+
+
+embed_lookup.defvjp(_embed_lookup_fwd, _embed_lookup_bwd)

@@ -22,8 +22,16 @@ def adam_l2(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    flatten: bool = True,
 ) -> optax.GradientTransformation:
-    """torch.optim.Adam(lr, weight_decay) semantics, with an injectable lr."""
+    """torch.optim.Adam(lr, weight_decay) semantics, with an injectable lr.
+
+    ``flatten`` runs the moment updates on ONE raveled parameter vector
+    (optax.flatten): per-element math is unchanged (L2 and Adam are
+    element-wise), but the ~100-leaf parameter tree otherwise compiles to
+    hundreds of microsecond-scale update fusions — material on the
+    latency-bound step (measured profile: ~6.4k device ops/step at batch
+    320, benchmarks/RESULTS.md round 2 roofline)."""
 
     @optax.inject_hyperparams
     def make(learning_rate):
@@ -32,7 +40,8 @@ def adam_l2(
             steps.append(optax.add_decayed_weights(weight_decay))
         steps.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
         steps.append(optax.scale_by_learning_rate(learning_rate))  # scale(-lr)
-        return optax.chain(*steps)
+        chain = optax.chain(*steps)
+        return optax.flatten(chain) if flatten else chain
 
     return make(learning_rate)
 
