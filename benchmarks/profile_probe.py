@@ -61,7 +61,6 @@ def make_step(which: str, scan_steps: int):
     batch = jax.tree.map(jnp.asarray, batch)
     state = tr.init_state(batch)
 
-    @jax.jit
     def multi(state, batch):
         def body(s, _):
             s, loss = tr._train_step_impl(s, batch)
@@ -69,7 +68,9 @@ def make_step(which: str, scan_steps: int):
 
         return jax.lax.scan(body, state, None, length=scan_steps)
 
-    return multi, state, batch
+    # donate like bench.py so the persistent-cache entry is shared with it
+    # (donation participates in the compile-cache key)
+    return jax.jit(multi, donate_argnums=(0,)), state, batch
 
 
 def main():

@@ -154,14 +154,40 @@ def chebyshev_matvec(
     return _apply_poly(x, lap, weights, bias, kind="chebyshev")
 
 
+_stacked_terms_flag = os.environ.get("HLHGAT_STACKED_TERMS", "0") == "1"
+
+
+def use_stacked_terms(enable: bool | None = None) -> bool:
+    """Get/set the single-GEMM term combine (``HLHGAT_STACKED_TERMS``):
+    concatenate the K polynomial terms on the feature axis and run ONE
+    [N, K·C] @ [K·C, F] matmul instead of K per-term GEMMs.  Candidate for
+    cutting the per-GEMM layout-change fusions the round-2 profile surfaced
+    (each GEMM operand gets a {1,2,0}<->{2,1,0} transpose); costs one
+    materialized term-stack copy instead."""
+    global _stacked_terms_flag
+    if enable is not None:
+        _stacked_terms_flag = enable
+    return _stacked_terms_flag
+
+
 def _combine_terms(terms, weights, bias, out_dtype):
     """sum_k T_k @ W_k (+ b) with a shared f32 accumulator.
 
-    Per-term GEMMs: the row count is huge (every simplex in the batch), so K
-    separate [N, C]@[C, F] matmuls run the MXU exactly as well as one
-    [N, K·C] one — but skip materializing the concatenated term stack in HBM
-    (a full extra copy per conv; the step is memory-bound,
-    benchmarks/RESULTS.md)."""
+    Default: per-term GEMMs — the row count is huge (every simplex in the
+    batch), so K separate [N, C]@[C, F] matmuls run the MXU exactly as well
+    as one [N, K·C] one without materializing the concatenated term stack.
+    `use_stacked_terms` switches to the one-GEMM form (see its docstring)."""
+    if use_stacked_terms() and len(terms) > 1:
+        k, c, f = weights.shape
+        stack = jnp.concatenate(terms, axis=-1)
+        out = jnp.einsum(
+            "...c,cf->...f", stack,
+            weights.reshape(k * c, f).astype(stack.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out.astype(out_dtype)
     out = None
     for kk, t in enumerate(terms):
         part = jnp.einsum(

@@ -22,16 +22,21 @@ def adam_l2(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
-    flatten: bool = True,
+    flatten: bool | None = None,
 ) -> optax.GradientTransformation:
     """torch.optim.Adam(lr, weight_decay) semantics, with an injectable lr.
 
     ``flatten`` runs the moment updates on ONE raveled parameter vector
-    (optax.flatten): per-element math is unchanged (L2 and Adam are
-    element-wise), but the ~100-leaf parameter tree otherwise compiles to
-    hundreds of microsecond-scale update fusions — material on the
-    latency-bound step (measured profile: ~6.4k device ops/step at batch
-    320, benchmarks/RESULTS.md round 2 roofline)."""
+    (optax.flatten).  Measured DEFAULT OFF (benchmarks/RESULTS.md round 2):
+    the ravel itself costs two ~27.5 MB concatenates + a flat-vector update
+    (~475 us/step in the device trace), MORE than the ~100 per-leaf update
+    fusions it replaces — flagship 1.789M with flatten vs 1.932M without.
+    Per-element math identical either way (HLHGAT_FLAT_OPT=1 re-enables)."""
+
+    if flatten is None:
+        import os
+
+        flatten = os.environ.get("HLHGAT_FLAT_OPT", "0") == "1"
 
     @optax.inject_hyperparams
     def make(learning_rate):
