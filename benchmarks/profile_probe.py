@@ -61,7 +61,7 @@ def make_step(which: str, scan_steps: int):
     batch = jax.tree.map(jnp.asarray, batch)
     state = tr.init_state(batch)
 
-    def multi(state, batch):
+    def multi_step(state, batch):
         def body(s, _):
             s, loss = tr._train_step_impl(s, batch)
             return s, loss
@@ -70,7 +70,9 @@ def make_step(which: str, scan_steps: int):
 
     # donate like bench.py so the persistent-cache entry is shared with it
     # (donation participates in the compile-cache key)
-    return jax.jit(multi, donate_argnums=(0,)), state, batch
+    # name matters: the persistent-cache key includes the jitted
+    # function name, and bench.py compiles the same graph as 'multi_step'
+    return jax.jit(multi_step, donate_argnums=(0,)), state, batch
 
 
 def main():
