@@ -146,7 +146,29 @@ def tsp_dropout_device(key: Array, batch, *, apply_prob: float = 0.75):
                 None if level.l1.spill is None
                 else mask_coo(level.l1.spill, keep)
             )
-            l1 = dataclasses.replace(level.l1, blocks=blocks, spill=spill)
+
+            def mask_band(b, col_shift):
+                # band_up[g] has rows in block g, cols in block g+shift;
+                # both endpoint keeps must survive (induced-subgraph mask)
+                if b is None:
+                    return None
+                zero = jnp.zeros_like(keep_blk[:1])
+                col_keep = (
+                    jnp.concatenate([keep_blk[1:], zero], axis=0)
+                    if col_shift == 1
+                    else jnp.concatenate([zero, keep_blk[:-1]], axis=0)
+                )
+                return (
+                    b
+                    * keep_blk[:, :, None].astype(b.dtype)
+                    * col_keep[:, None, :].astype(b.dtype)
+                )
+
+            l1 = dataclasses.replace(
+                level.l1, blocks=blocks, spill=spill,
+                band_up=mask_band(level.l1.band_up, 1),
+                band_dn=mask_band(level.l1.band_dn, -1),
+            )
         else:
             l1 = (
                 level.l1

@@ -36,10 +36,22 @@ class BlockDiagMatrix:
     ``lap_matvec`` adds ``spmm_coo`` of the spill over ``x.reshape(G·S,
     C)`` to the batched matmul — with a locality ordering (``bfs_order``)
     the spill carries a few percent of nnz, so the op stays MXU-bound.
+
+    ``band_up``/``band_dn`` [G, S, S] carry the entries that couple a block
+    to its immediate neighbour (col-block = row-block ± 1) as TWO more
+    batched matmuls over block-shifted operands instead of COO scatter:
+    with the BFS ordering nearly all cross-block entries are
+    nearest-neighbour, and the round-2 TSP profile measured each spill
+    scatter at ~60 GB/s (~4.9 ms for 286k nnz × 256 features) vs ~100 us
+    for the equivalent banded matmuls — the scatter dominated the whole
+    training step.  Only entries |row_block − col_block| ≥ 2 remain in
+    ``spill``.
     """
 
     blocks: Any  # [G, S, S]
     spill: Any = None  # CooMatrix over (G*S, G*S) flat slots, or None
+    band_up: Any = None  # [G, S, S]: row-block g ← col-block g+1, or None
+    band_dn: Any = None  # [G, S, S]: row-block g ← col-block g-1, or None
 
 
 @_pytree_dataclass(meta=("num_graphs",))
@@ -72,7 +84,9 @@ class DenseLevel:
     num_graphs: int
     n_gid: Any = None  # [G, S] int32 — packed layout only
     s_gid: Any = None  # [G, E] int32 — packed layout only
-    b1_sp: Any = None  # CooMatrix (G*S, G*E) — cross-block B1 entries
+    b1_sp: Any = None  # CooMatrix (G*S, G*E) — far cross-block B1 entries
+    b1_bu: Any = None  # [G, S, E]: B1 rows of block g vs edge cols g+1
+    b1_bd: Any = None  # [G, S, E]: same vs edge cols g-1
 
     @property
     def nodes_per_graph(self) -> int:
@@ -511,16 +525,37 @@ def collate_dense_packed(
         sp0 = [[], [], []]
         sp1 = [[], [], []]
         spb = [[], [], []]
+        # nearest-neighbour cross-block entries become band matmuls
+        # (allocated lazily on first use); only |br-bc| >= 2 stays COO
+        bands: dict[int, np.ndarray] = {}
 
-        def put(dense, r_gl, c_gl, v, s_r, s_c, spill):
+        def band(key, shape):
+            if key not in bands:
+                bands[key] = np.zeros(shape, np.float32)
+            return bands[key]
+
+        def put(dense, r_gl, c_gl, v, s_r, s_c, spill, bkey):
             br = r_gl // s_r
             bc = c_gl // s_c
             same = br == bc
             dense[br[same], r_gl[same] % s_r, c_gl[same] % s_c] = v[same]
-            if not same.all():
-                spill[0].append(r_gl[~same])
-                spill[1].append(c_gl[~same])
-                spill[2].append(v[~same])
+            if same.all():
+                return
+            up = bc == br + 1
+            dn = bc == br - 1
+            if up.any():
+                band(bkey + "u", (nb, s_r, s_c))[
+                    br[up], r_gl[up] % s_r, c_gl[up] % s_c
+                ] = v[up]
+            if dn.any():
+                band(bkey + "d", (nb, s_r, s_c))[
+                    br[dn], r_gl[dn] % s_r, c_gl[dn] % s_c
+                ] = v[dn]
+            far = ~(same | up | dn)
+            if far.any():
+                spill[0].append(r_gl[far])
+                spill[1].append(c_gl[far])
+                spill[2].append(v[far])
 
         for i, s in enumerate(samples):
             st = s.levels[lv]
@@ -528,15 +563,15 @@ def collate_dense_packed(
             n, e = st.num_nodes, st.num_edges
             put(l0, ns + st.l0_rows.astype(np.int64),
                 ns + st.l0_cols.astype(np.int64), st.l0_vals, s_pad, s_pad,
-                sp0)
+                sp0, "l0")
             put(l1, es + st.l1_rows.astype(np.int64),
                 es + st.l1_cols.astype(np.int64), st.l1_vals, e_pad, e_pad,
-                sp1)
+                sp1, "l1")
             ecols = es + np.arange(e, dtype=np.int64)
             put(b1, ns + st.src.astype(np.int64), ecols,
-                -np.ones(e, np.float32), s_pad, e_pad, spb)
+                -np.ones(e, np.float32), s_pad, e_pad, spb, "b1")
             put(b1, ns + st.dst.astype(np.int64), ecols,
-                np.ones(e, np.float32), s_pad, e_pad, spb)
+                np.ones(e, np.float32), s_pad, e_pad, spb, "b1")
             nm[ns : ns + n] = 1.0
             em[es : es + e] = 1.0
             np.add.at(deg, ns + st.src, 1.0)
@@ -556,10 +591,15 @@ def collate_dense_packed(
         spill0 = fin(sp0, (nb * s_pad, nb * s_pad), True)
         spill1 = fin(sp1, (nb * e_pad, nb * e_pad), True)
         spillb = fin(spb, (nb * s_pad, nb * e_pad), False)
+        bd = bands.get
+        l0_banded = spill0 is not None or "l0u" in bands or "l0d" in bands
+        l1_banded = spill1 is not None or "l1u" in bands or "l1d" in bands
         levels.append(
             DenseLevel(
-                l0=BlockDiagMatrix(l0, spill0) if spill0 is not None else l0,
-                l1=BlockDiagMatrix(l1, spill1) if spill1 is not None else l1,
+                l0=BlockDiagMatrix(l0, spill0, bd("l0u"), bd("l0d"))
+                if l0_banded else l0,
+                l1=BlockDiagMatrix(l1, spill1, bd("l1u"), bd("l1d"))
+                if l1_banded else l1,
                 b1=b1,
                 node_mask=nm.reshape(nb, s_pad),
                 edge_mask=em.reshape(nb, e_pad),
@@ -568,6 +608,8 @@ def collate_dense_packed(
                 n_gid=n_gid.reshape(nb, s_pad),
                 s_gid=s_gid.reshape(nb, e_pad),
                 b1_sp=spillb,
+                b1_bu=bd("b1u"),
+                b1_bd=bd("b1d"),
             )
         )
 

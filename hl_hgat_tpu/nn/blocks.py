@@ -55,8 +55,16 @@ def use_merged_pair(enable: bool | None = None) -> bool:
 
 
 def _blocks_and_spill(lap):
-    """(blocks [G,S,S], spill | None) for dense-block operators, else None."""
+    """(blocks [G,S,S], spill | None) for dense-block operators, else None.
+
+    Banded operators (nearest-neighbour coupling between consecutive
+    blocks) are NOT mergeable: concatenating node and edge blocks would
+    create a spurious band coupling across the node/edge boundary."""
     if isinstance(lap, BlockDiagMatrix):
+        if getattr(lap, "band_up", None) is not None or getattr(
+            lap, "band_dn", None
+        ) is not None:
+            return None, None
         return lap.blocks, lap.spill
     if hasattr(lap, "ndim") and getattr(lap, "ndim", 0) == 3:
         return lap, None

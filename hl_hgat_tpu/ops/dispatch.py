@@ -30,6 +30,46 @@ def _bmm(a: Array, b: Array) -> Array:
     ).astype(b.dtype)
 
 
+def _shift_blocks(x: Array, k: int) -> Array:
+    """out[g] = x[g+k], zero-padded at the ends (block axis 0)."""
+    zero = jnp.zeros_like(x[:1])
+    if k == 1:
+        return jnp.concatenate([x[1:], zero], axis=0)
+    return jnp.concatenate([zero, x[:-1]], axis=0)
+
+
+def _band_add(y: Array, bu, bd, x: Array,
+              *, transpose: bool = False, absolute: bool = False) -> Array:
+    """y += banded nearest-neighbour coupling (complex/dense.py
+    BlockDiagMatrix band_up/band_dn): batched matmuls over block-shifted
+    operands — the MXU replacement for the COO spill scatter measured at
+    ~60 GB/s on TSP-shaped batches (benchmarks/RESULTS.md round 2).
+
+    Forward (transpose=False): y[g] += U[g] @ x[g+1] + D[g] @ x[g-1].
+    Transpose: contributions flow the other way —
+    y[g] += U[g-1]ᵀ @ x[g-1] + D[g+1]ᵀ @ x[g+1].
+    """
+    def prep(m):
+        m = jnp.abs(m) if absolute else m
+        return m.astype(x.dtype)
+
+    if not transpose:
+        if bu is not None:
+            y = y + _bmm(prep(bu), _shift_blocks(x, 1))
+        if bd is not None:
+            y = y + _bmm(prep(bd), _shift_blocks(x, -1))
+        return y
+    if bu is not None:
+        w = jnp.einsum("gse,gsf->gef", prep(bu), x,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        y = y + _shift_blocks(w, -1)
+    if bd is not None:
+        w = jnp.einsum("gse,gsf->gef", prep(bd), x,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        y = y + _shift_blocks(w, 1)
+    return y
+
+
 def _spill_add(y: Array, spill: CooMatrix | None, x: Array,
                *, transpose: bool = False, absolute: bool = False) -> Array:
     """y += (|S| or S or Sᵀ) @ x over flattened block slots.
@@ -105,9 +145,12 @@ def lap_matvec(lap, x: Array) -> Array:
             out = spmm_coo(lap.rows, lap.cols, lap.vals, flat, lap.shape[0])
         return out.reshape(x.shape)
     if isinstance(lap, BlockDiagMatrix):
-        # large-graph dense path: batched within-block matmul + COO spill
-        # correction for entries crossing 128-row block boundaries
-        return _spill_add(_bmm(lap.blocks, x), lap.spill, x)
+        # large-graph dense path: batched within-block matmul + banded
+        # nearest-neighbour matmuls + COO spill for far entries
+        out = _bmm(lap.blocks, x)
+        out = _band_add(out, getattr(lap, "band_up", None),
+                        getattr(lap, "band_dn", None), x)
+        return _spill_add(out, lap.spill, x)
     return _bmm(lap, x)
 
 
@@ -119,6 +162,8 @@ def abs_b1_s2t(level, x_s: Array) -> Array:
             edge_mask=level.edge_mask,
         )
     out = _bmm(jnp.abs(level.b1), x_s)
+    out = _band_add(out, getattr(level, "b1_bu", None),
+                    getattr(level, "b1_bd", None), x_s, absolute=True)
     return _spill_add(out, level.b1_sp, x_s, absolute=True)
 
 
@@ -132,6 +177,9 @@ def abs_b1_t2s(level, x_t: Array) -> Array:
         "gse,gsf->gef", jnp.abs(level.b1), x_t,
         preferred_element_type=jnp.float32,
     ).astype(x_t.dtype)
+    out = _band_add(out, getattr(level, "b1_bu", None),
+                    getattr(level, "b1_bd", None), x_t,
+                    transpose=True, absolute=True)
     return _spill_add(out, level.b1_sp, x_t, transpose=True, absolute=True)
 
 
@@ -144,6 +192,8 @@ def b1_t2s(level, x_t: Array) -> Array:
     out = jnp.einsum(
         "gse,gsf->gef", level.b1, x_t, preferred_element_type=jnp.float32
     ).astype(x_t.dtype)
+    out = _band_add(out, getattr(level, "b1_bu", None),
+                    getattr(level, "b1_bd", None), x_t, transpose=True)
     return _spill_add(out, level.b1_sp, x_t, transpose=True)
 
 
@@ -242,10 +292,15 @@ def cast_operators(batch, dtype):
             else m.ell_vals.astype(dtype),
         )
 
+    def cast_band(b):
+        return None if b is None else b.astype(dtype)
+
     def cast_op(m):
         if isinstance(m, BlockDiagMatrix):
             return dataclasses.replace(
-                m, blocks=m.blocks.astype(dtype), spill=cast_coo(m.spill)
+                m, blocks=m.blocks.astype(dtype), spill=cast_coo(m.spill),
+                band_up=cast_band(getattr(m, "band_up", None)),
+                band_dn=cast_band(getattr(m, "band_dn", None)),
             )
         return m.astype(dtype)
 
@@ -258,6 +313,8 @@ def cast_operators(batch, dtype):
                 lvl, l0=cast_op(lvl.l0), l1=cast_op(lvl.l1),
                 b1=lvl.b1.astype(dtype),
                 b1_sp=None if lvl.b1_sp is None else cast_coo(lvl.b1_sp),
+                b1_bu=cast_band(getattr(lvl, "b1_bu", None)),
+                b1_bd=cast_band(getattr(lvl, "b1_bd", None)),
             )
         return lvl
 

@@ -141,11 +141,22 @@ def test_device_aug_dense_layout_spill():
     want = np.asarray(lvl.l1.blocks) * kb[:, :, None] * kb[:, None, :]
     np.testing.assert_allclose(
         np.asarray(out.levels[0].l1.blocks), want, rtol=1e-6, atol=1e-7)
-    sp_in, sp_out = lvl.l1.spill, out.levels[0].l1.spill
-    want_sp = (np.asarray(sp_in.vals) * keep[np.asarray(sp_in.rows)]
-               * keep[np.asarray(sp_in.cols)])
-    np.testing.assert_allclose(np.asarray(sp_out.vals), want_sp,
-                               rtol=1e-6, atol=1e-7)
+    if lvl.l1.spill is not None:
+        sp_in, sp_out = lvl.l1.spill, out.levels[0].l1.spill
+        want_sp = (np.asarray(sp_in.vals) * keep[np.asarray(sp_in.rows)]
+                   * keep[np.asarray(sp_in.cols)])
+        np.testing.assert_allclose(np.asarray(sp_out.vals), want_sp,
+                                   rtol=1e-6, atol=1e-7)
+    # nearest-neighbour band entries masked with the NEIGHBOUR block's keep
+    assert lvl.l1.band_up is not None  # the 200-node graph spans blocks
+    kb_next = np.concatenate([kb[1:], np.zeros_like(kb[:1])], axis=0)
+    want_bu = np.asarray(lvl.l1.band_up) * kb[:, :, None] * kb_next[:, None, :]
+    np.testing.assert_allclose(
+        np.asarray(out.levels[0].l1.band_up), want_bu, rtol=1e-6, atol=1e-7)
+    kb_prev = np.concatenate([np.zeros_like(kb[:1]), kb[:-1]], axis=0)
+    want_bd = np.asarray(lvl.l1.band_dn) * kb[:, :, None] * kb_prev[:, None, :]
+    np.testing.assert_allclose(
+        np.asarray(out.levels[0].l1.band_dn), want_bd, rtol=1e-6, atol=1e-7)
 
 
 def test_trainer_step_with_aug_trains():

@@ -104,17 +104,27 @@ def test_spill_lap_matvec_matches_dense_oracle():
     samples = big_and_small(rng)
     batch = collate_dense_packed(samples)
     lvl = batch.levels[0]
-    assert isinstance(lvl.l0, BlockDiagMatrix) and lvl.l0.spill is not None
+    assert isinstance(lvl.l0, BlockDiagMatrix)
+    # nearest-neighbour cross-block entries ride the band matmuls now;
+    # a spanning graph must produce at least one of band/spill
+    assert lvl.l0.spill is not None or lvl.l0.band_up is not None
     nb, s_pad, _ = lvl.l0.blocks.shape
-    # oracle: full flat operator from blocks + spill
+    # oracle: full flat operator from blocks + bands + spill
     full = np.zeros((nb * s_pad, nb * s_pad), np.float64)
     for b in range(nb):
         full[b * s_pad : (b + 1) * s_pad, b * s_pad : (b + 1) * s_pad] = (
             lvl.l0.blocks[b]
         )
-    sp = lvl.l0.spill
-    np.add.at(full, (np.asarray(sp.rows), np.asarray(sp.cols)),
-              np.asarray(sp.vals, np.float64))
+        if lvl.l0.band_up is not None and b + 1 < nb:
+            full[b * s_pad : (b + 1) * s_pad,
+                 (b + 1) * s_pad : (b + 2) * s_pad] = lvl.l0.band_up[b]
+        if lvl.l0.band_dn is not None and b > 0:
+            full[b * s_pad : (b + 1) * s_pad,
+                 (b - 1) * s_pad : b * s_pad] = lvl.l0.band_dn[b]
+    if lvl.l0.spill is not None:
+        sp = lvl.l0.spill
+        np.add.at(full, (np.asarray(sp.rows), np.asarray(sp.cols)),
+                  np.asarray(sp.vals, np.float64))
     x = rng.standard_normal((nb, s_pad, 7)).astype(np.float32)
     got = np.asarray(lap_matvec(dev(lvl).l0, jnp.asarray(x)))
     want = (full @ x.reshape(-1, 7)).reshape(nb, s_pad, 7)
