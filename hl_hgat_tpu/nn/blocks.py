@@ -92,12 +92,20 @@ def _merge_spills(st, ss, off: int, n: int):
         parts.append(_offset_coo(ss, off, n))
     if len(parts) == 1:
         return parts[0]
+    # `symmetric` only gates the ELL fast path (ops/spmm.py), and spill
+    # CooMatrices never carry ELL arrays — the merged matrix always takes
+    # the plain COO path, so the flag is advisory here.  Assert the parts
+    # agree so a future mixed-flag merge fails loudly instead of silently
+    # downgrading.
+    assert len({p.symmetric for p in parts}) == 1, (
+        "merged spill parts disagree on `symmetric`"
+    )
     return CooMatrix(
         rows=jnp.concatenate([p.rows for p in parts]),
         cols=jnp.concatenate([p.cols for p in parts]),
         vals=jnp.concatenate([p.vals for p in parts]),
         shape=(n, n),
-        symmetric=all(p.symmetric for p in parts),
+        symmetric=parts[0].symmetric,
     )
 
 

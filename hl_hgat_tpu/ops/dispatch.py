@@ -200,8 +200,14 @@ def b1_t2s(level, x_t: Array) -> Array:
 # Scatter readouts measured ~10x below stream bandwidth on the packed
 # layout (99 us per 4.7 MB segment-sum; benchmarks/RESULTS.md round-2
 # profile); the one-hot matmul form wins whenever its [G, rows] matrix
-# stays modest.  Kill switch: HLHGAT_MATMUL_READOUT=0.
-_MATMUL_READOUT_MAX_ELEMS = 32 * 1024 * 1024
+# stays modest.  Budget is expressed in BYTES of the persistent one-hot
+# operands: the step-invariant matrix is hoisted out of the scanned train
+# loop, so its f32 copy (4 B/elem) plus the bf16 compute copy (2 B/elem)
+# stay resident in HBM for the whole run — 6 B/elem, capped at 48 MB
+# (= 8M elements, e.g. 320 graphs x 25k rows).  Kill switch:
+# HLHGAT_MATMUL_READOUT=0.
+_MATMUL_READOUT_MAX_BYTES = 48 * 1024 * 1024
+_MATMUL_READOUT_BYTES_PER_ELEM = 6
 
 
 def _matmul_readout_ok(rows: int, num_segments: int) -> bool:
@@ -209,7 +215,8 @@ def _matmul_readout_ok(rows: int, num_segments: int) -> bool:
 
     if os.environ.get("HLHGAT_MATMUL_READOUT", "1") != "1":
         return False
-    return rows * num_segments <= _MATMUL_READOUT_MAX_ELEMS
+    return (rows * num_segments * _MATMUL_READOUT_BYTES_PER_ELEM
+            <= _MATMUL_READOUT_MAX_BYTES)
 
 
 def _packed_mean(x, gid, mask, num_graphs):

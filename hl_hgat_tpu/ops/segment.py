@@ -167,7 +167,12 @@ def segment_mean_onehot(
         "gr,rf->gf", m, data, preferred_element_type=jnp.float32
     )
     denom = jnp.maximum(count, 1.0)
-    return (total / denom[:, None]).astype(data.dtype)
+    # cast the f32 accumulation to the data dtype BEFORE dividing — the same
+    # order as `segment_mean` (whose segment_sum casts its total first), so
+    # flipping HLHGAT_MATMUL_READOUT is bit-stable in f32 and the bf16
+    # divergence is the rounding of one division, not of the whole total
+    total = total.astype(data.dtype)
+    return total / denom[:, None].astype(total.dtype)
 
 
 @jax.custom_vjp

@@ -43,9 +43,11 @@ def pytest_collection_modifyitems(config, items):
     except OSError:
         return
     for item in items:
-        # prefix match so parameterized variants of a listed id also count
+        # prefix match so parameterized variants of a listed id also count;
+        # anchor at the parametrize bracket so a listed 'test_foo[x]' does
+        # not also mark an unrelated 'test_foo_bar'
         if item.nodeid in slow or any(
-            item.nodeid.startswith(s.split("[")[0]) and "[" in s
+            item.nodeid.startswith(s.split("[")[0] + "[") and "[" in s
             for s in slow
         ):
             item.add_marker(pytest.mark.slow)
