@@ -102,14 +102,17 @@ def pepfunc_attpool(
 ):
     """10-way multilabel.  Script variant gates the stacks EVERY block and
     pools at pool_loc (reference main_pepfunc...py:133-149); lib variant
-    gates only at pool_loc (reference lib/Hodge_ST_Model.py:276-290)."""
+    gates only at pool_loc (reference lib/Hodge_ST_Model.py:276-290).
+    λ = 0.5 in both (main_pepfunc...py:90: ``NodeEdgeInt(..., l=0.5)``;
+    pinned by the model_pepfunc_attpool reference fixture)."""
     n_blocks = len(channels)
     cfg = BackboneConfig(
         channels=tuple(channels), filters=tuple(filters), k=k, init_k=1,
         act="relu", dropout=dropout, deg_eps=1e-6,
         pool_locs=(pool_loc,),
         att_locs=tuple(range(n_blocks)) if script_variant else (),
-        att_sigma="sigmoid", gate_input="stack", gate_target="stack",
+        att_sigma="sigmoid", att_lam=0.5,
+        gate_input="stack", gate_target="stack",
         stack_concat="layer",  # pooled family: measured faster than "block"
     )
     return HLHGCNNGraph(

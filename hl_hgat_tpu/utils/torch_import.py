@@ -279,14 +279,31 @@ def _translate_hgcnn(
     pyr/attpool/poolint3 → :class:`HLHGCNNGraph`: ``mlp{i}``/``out`` are
     Linears under the ``head`` MLP).  ``head='tsp'`` maps the edge-level
     model (reference :756-852 → :class:`HLHGCNNTsp`: ``mlp``/``out`` are
-    K=1 Laguerre conv stages on edge features).
+    K=1 Laguerre conv stages on edge features).  ``head='abcd'`` maps the
+    brain model (reference :26-168 → :class:`HLHGCNNAbcd`): like 'graph'
+    plus the ``node_embedding`` Inception1D and the K=1 ``readout`` convs.
     """
     t = _Translator()
     for key, val in sd.items():
         parts = key.split(".")
         h = parts[0]
 
-        if h == "HL_init_conv" or re.fullmatch(r"NEConv\d\d?", h):
+        if h == "node_embedding" and head == "abcd":
+            # Inception1D (reference lib/Hodge_Cheb_Conv.py:317-341)
+            name = parts[1]
+            if name.startswith("bn"):
+                t.bn(("node_embedding", name), parts[2], val, key)
+            elif parts[2] == "weight":  # Conv1d [out,in,k] → [k,in,out]
+                t.put("params", ("node_embedding", name, "kernel"),
+                      val.transpose(2, 1, 0), key)
+            else:
+                t.put("params", ("node_embedding", name, "bias"), val, key)
+
+        elif h == "readout" and head == "abcd":
+            tgt = "readout_node" if parts[1] == "module_0" else "readout_edge"
+            t.lag((tgt,), ".".join(parts[2:]), val, key)
+
+        elif h == "HL_init_conv" or re.fullmatch(r"NEConv\d\d?", h):
             base: Path = (("backbone", "init_node") if h == "HL_init_conv"
                           else ("backbone", h, "node"))
             ebase: Path = (("backbone", "init_edge") if h == "HL_init_conv"
@@ -318,7 +335,7 @@ def _translate_hgcnn(
         elif re.fullmatch(r"NEAtt\d", h):
             t.linear(("backbone", h, parts[1]), parts[2], val, key)
 
-        elif re.fullmatch(r"mlp\d+", h) and head == "graph":
+        elif re.fullmatch(r"mlp\d+", h) and head in ("graph", "abcd"):
             i = h[3:]
             if parts[1] == "0":
                 t.linear(("head", f"mlp{i}_lin"), parts[2], val, key)
@@ -327,7 +344,7 @@ def _translate_hgcnn(
             else:
                 t.report.unmatched.append(key)
 
-        elif h == "out" and head == "graph":
+        elif h == "out" and head in ("graph", "abcd"):
             t.linear(("head", "out"), parts[1], val, key)
 
         elif h == "mlp" and head == "tsp":

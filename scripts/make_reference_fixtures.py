@@ -349,6 +349,259 @@ def fixture_model_zinc_attpool():
          **_sd(model))
 
 
+def _pyramid_pair(ei, n, x_t, x_s, y, gen):
+    """PairData + its MLGC coarse level with the cluster-id column-0 layout
+    (reference lib/Hodge_Dataset.py:525-526)."""
+    d0 = _pair_from_graph(ei, n, x_t, x_s, y)
+    d1, c_node, c_edge = MLGC(d0)
+    d0.x_t = torch.cat([c_node, d0.x_t], dim=-1)
+    d0.x_s = torch.cat([c_edge, d0.x_s], dim=-1)
+    return d0, d1
+
+
+def _save_two_level(name, out, b0, b1, model, **extra):
+    save(name, out=out,
+         num_node1=b0.num_node1, num_edge1=b0.num_edge1,
+         num_node1_c=b1.num_node1, num_edge1_c=b1.num_edge1,
+         **_batch_arrays(b0, ["x_t", "x_s", "edge_index_t", "edge_weight_t",
+                              "edge_index_s", "edge_weight_s", "edge_index"]),
+         **{f"in_c/{k}": getattr(b1, k)
+            for k in ["x_t", "x_s", "edge_index_t", "edge_weight_t",
+                      "edge_index_s", "edge_weight_s", "edge_index"]},
+         **extra, **_sd(model))
+
+
+def fixture_model_cifar_attpool():
+    """HL_HGCNN_CIFAR10SP_dense_int3_attpool eval forward — pins the
+    max-norm ReLU gate quirk (reference lib/Hodge_ST_Model.py:1058-1064:
+    att/att.max() applied to the LAST outputs while the pool moves the
+    ungated stacks)."""
+    torch.manual_seed(800)
+    node_dim, edge_dim, keig = 3, 2, 4
+    gen = torch.Generator().manual_seed(801)
+    level0, level1 = [], []
+    for n, extra, seed in [(10, 4, 51), (8, 3, 52), (13, 6, 53)]:
+        ei = make_graph(n, extra, seed)
+        x_t = torch.randn(n, node_dim + keig, generator=gen)
+        x_s = torch.randn(ei.shape[1], edge_dim + keig, generator=gen)
+        d0, d1 = _pyramid_pair(ei, n, x_t, x_s, torch.zeros(1), gen)
+        level0.append(d0)
+        level1.append(d1)
+    datas = [Batch.from_data_list(level0), Batch.from_data_list(level1)]
+    model = ref_models.HL_HGCNN_CIFAR10SP_dense_int3_attpool(
+        channels=[2, 2], filters=[8, 16], mlp_channels=[8], K=2,
+        node_dim=node_dim, edge_dim=edge_dim, keig=keig, pool_loc=0,
+        l=0.5, num_classes=10,
+    )
+    _randomize_bn_stats(model, gen)
+    model.eval()
+    with torch.no_grad():
+        out = model(datas, device="cpu")
+    _save_two_level("model_cifar_attpool", out, *datas, model)
+
+
+def _load_pepfunc_script_model():
+    """Execute the pepfunc training script's model class (defined inline at
+    main_pepfunc_HL_HGCNN_dense_int3_attpool.py:36-168, not in lib/) without
+    triggering the script's argparse/training top level."""
+    import torch.nn as nn
+    import torch_geometric.nn as gnn
+    from torch.nn import Dropout, Linear
+    from torch_geometric.nn import global_mean_pool
+    from torch_scatter import scatter_mean
+
+    from lib.Hodge_Cheb_Conv import HodgeLaguerreConv, NodeEdgeInt
+    from lib.Hodge_Dataset import adj2par1
+
+    src = open(
+        "/root/reference/main_pepfunc_HL_HGCNN_dense_int3_attpool.py"
+    ).read()
+    start = src.index("class HL_HGCNN_pepfunc_dense_int3_attpool")
+    end = src.index("\ndef train(")
+    ns = dict(
+        torch=torch, nn=nn, gnn=gnn, Dropout=Dropout, Linear=Linear,
+        HodgeLaguerreConv=HodgeLaguerreConv, NodeEdgeInt=NodeEdgeInt,
+        adj2par1=adj2par1, degree=degree, scatter_mean=scatter_mean,
+        global_mean_pool=global_mean_pool,
+    )
+    exec(compile(src[start:end], "pepfunc_script_model", "exec"), ns)
+    return ns["HL_HGCNN_pepfunc_dense_int3_attpool"]
+
+
+def fixture_model_pepfunc_attpool():
+    """The pepfunc SCRIPT model — attention gates the stacks at EVERY block
+    (λ=0.5 sigmoid, main_pepfunc...py:133-136), pool only at pool_loc."""
+    cls = _load_pepfunc_script_model()
+    torch.manual_seed(900)
+    node_dim, edge_dim, keig = 4, 2, 3
+    gen = torch.Generator().manual_seed(901)
+    level0, level1 = [], []
+    for n, extra, seed in [(10, 4, 61), (9, 4, 62), (12, 5, 63)]:
+        ei = make_graph(n, extra, seed)
+        x_t = torch.randn(n, node_dim + keig, generator=gen)
+        x_s = torch.randn(ei.shape[1], edge_dim + keig, generator=gen)
+        d0, d1 = _pyramid_pair(ei, n, x_t, x_s, torch.zeros(1), gen)
+        level0.append(d0)
+        level1.append(d1)
+    datas = [Batch.from_data_list(level0), Batch.from_data_list(level1)]
+    model = cls(
+        channels=[2, 2], filters=[8, 16], mlp_channels=[8], K=2,
+        node_dim=node_dim, edge_dim=edge_dim, keig=keig, pool_loc=0,
+        num_classes=10,
+    )
+    _randomize_bn_stats(model, gen)
+    model.eval()
+    with torch.no_grad():
+        out = model(datas, device="cpu")
+    _save_two_level("model_pepfunc_attpool", out, *datas, model)
+
+
+def fixture_model_abcd_attpool():
+    """HL_HGCNN_ABCD_dense_int3_attpool (reference lib/Hodge_ST_Model.py:
+    26-168): Inception1D(mean-readout) node embedding, sigmoid gates from
+    the LAST outputs multiplied into the stacks, K=1 conv readout and the
+    flattened [edges ‖ nodes] head.  Two graphs with IDENTICAL structure
+    (the shared-skeleton brain setting the flatten head requires)."""
+    torch.manual_seed(1000)
+    gen = torch.Generator().manual_seed(1001)
+    T = 24  # fmri time points
+    n, extra = 12, 8
+    ei = make_graph(n, extra, seed=71)
+    level0, level1 = [], []
+    for _ in range(2):
+        x_t = torch.randn(n, T, generator=gen)
+        x_s = torch.randn(ei.shape[1], 1, generator=gen)
+        d0, d1 = _pyramid_pair(ei, n, x_t, x_s, torch.zeros(1), gen)
+        level0.append(d0)
+        level1.append(d1)
+    datas = [Batch.from_data_list(level0), Batch.from_data_list(level1)]
+    # per-graph coarse counts feed the flatten head width
+    n_c = int(datas[1].num_node1[0])
+    e_c = int(datas[1].num_edge1[0])
+    model = ref_models.HL_HGCNN_ABCD_dense_int3_attpool(
+        channels=[2, 2], filters=[8, 16], mlp_channels=[8], K=2,
+        node_dim=32, edge_dim=1, keig=0, pool_loc=[0], num_classes=1,
+        num_nodepedge=n_c + e_c,
+    )
+    _randomize_bn_stats(model, gen)
+    model.eval()
+    with torch.no_grad():
+        out = model(datas, device="cpu")
+    _save_two_level("model_abcd_attpool", out, *datas, model,
+                    coarse_nodes_per_graph=n_c, coarse_edges_per_graph=e_c)
+
+
+# ---------------------------------------------------------------------------
+# gradient fixtures — torch autograd through the reference backward
+# (reference lib/Hodge_Cheb_Conv.py:494-519 traverses the same SpMMs)
+# ---------------------------------------------------------------------------
+
+
+def _grads_of(model) -> dict[str, np.ndarray]:
+    return {f"gd/{k}": p.grad.detach().numpy()
+            for k, p in model.named_parameters() if p.grad is not None}
+
+
+def fixture_grad_zinc_pyr():
+    """Train-mode L1-loss gradients of HL_HGCNN_zinc_dense_int3_pyr
+    (loss per main_zinc...py:157,213; BN in batch-stat mode)."""
+    torch.manual_seed(1100)
+    node_dim, edge_dim, keig = 5, 3, 4
+    sizes = [(10, 4, 81), (8, 3, 82), (13, 6, 83)]
+    gen = torch.Generator().manual_seed(1101)
+    datas = []
+    for n, extra, seed in sizes:
+        ei = make_graph(n, extra, seed)
+        x_t = torch.randn(n, node_dim + keig, generator=gen)
+        x_s = torch.randn(ei.shape[1], edge_dim + keig, generator=gen)
+        datas.append(_pair_from_graph(ei, n, x_t, x_s, torch.zeros(1)))
+    batch = Batch.from_data_list(datas)
+    y = torch.randn(3, 1, generator=gen)
+    model = ref_models.HL_HGCNN_zinc_dense_int3_pyr(
+        channels=[2, 2], filters=[8, 16], mlp_channels=[], K=3,
+        node_dim=node_dim, edge_dim=edge_dim, keig=keig,
+    )
+    _randomize_bn_stats(model, gen)
+    model.train()
+    out = model(batch, device="cpu")
+    loss = torch.nn.L1Loss()(out.view(-1, 1), y)
+    loss.backward()
+    save("grad_zinc_pyr", out=out, y=y, loss=loss.detach(),
+         num_node1=batch.num_node1, num_edge1=batch.num_edge1,
+         **_batch_arrays(batch, ["x_t", "x_s", "edge_index_t",
+                                 "edge_weight_t", "edge_index_s",
+                                 "edge_weight_s", "edge_index"]),
+         **_sd(model), **_grads_of(model))
+
+
+def fixture_grad_tsp_pyr():
+    """Train-mode FocalLoss(×1e4) gradients of HL_HGCNN_TSP_dense_int3_pyr
+    (loss per main_TSP...py:59-71,397).
+
+    The ×1e4 loss scale makes f32 gradients noisy (torch's own f32 grads
+    deviate up to 2% element-wise from a float64 rerun), so alongside the
+    f32 pass this also records a float64 ORACLE pass (``gd64/``) — the
+    parity test pins JAX-f32 against the oracle at the same noise bar
+    torch-f32 itself achieves."""
+    from lib.Loss_function import FocalLoss
+
+    torch.manual_seed(1200)
+    gen = torch.Generator().manual_seed(1201)
+    datas = []
+    for n, extra, seed in [(12, 8, 91), (9, 5, 92)]:
+        ei = make_graph(n, extra, seed)
+        e = ei.shape[1]
+        x_t = torch.rand(n, 2, generator=gen)
+        feat = torch.randn(e, 1, generator=gen)
+        mask = (torch.rand(e, 1, generator=gen) > 0.2).float()
+        datas.append(_pair_from_graph(ei, n, x_t,
+                                      torch.cat([feat, mask], dim=1),
+                                      torch.zeros(e)))
+    batch = Batch.from_data_list(datas)
+    e_tot = int(batch.num_edge1.sum())
+    y = (torch.rand(e_tot, generator=gen) > 0.7).float()
+    model = ref_models.HL_HGCNN_TSP_dense_int3_pyr(
+        channels=[2, 2], filters=[8, 16], mlp_channels=[8], K=2,
+        node_dim=2, edge_dim=1,
+    )
+    _randomize_bn_stats(model, gen)
+    model.train()
+    out, s_batch = model(batch, device="cpu")
+    loss = FocalLoss()(out.view(-1, 1), y.view(-1, 1))
+    loss.backward()
+
+    # float64 oracle pass: same weights/batch, double precision throughout
+    # (adj2par1 hard-codes f32 at lib/Hodge_Dataset.py:187 — wrap it)
+    orig_adj2par1 = ref_models.adj2par1
+    ref_models.adj2par1 = lambda ei_, n_, e_: orig_adj2par1(ei_, n_, e_).double()
+    try:
+        model64 = ref_models.HL_HGCNN_TSP_dense_int3_pyr(
+            channels=[2, 2], filters=[8, 16], mlp_channels=[8], K=2,
+            node_dim=2, edge_dim=1,
+        ).double()
+        model64.load_state_dict(
+            {k: v.double() for k, v in model.state_dict().items()})
+        batch64 = Batch.from_data_list(datas)
+        for k in ("x_t", "x_s", "edge_weight_t", "edge_weight_s"):
+            setattr(batch64, k, getattr(batch64, k).double())
+        model64.train()
+        out64, _ = model64(batch64, device="cpu")
+        loss64 = FocalLoss()(out64.view(-1, 1), y.double().view(-1, 1))
+        loss64.backward()
+        gd64 = {f"gd64/{k}": p.grad.detach().numpy()
+                for k, p in model64.named_parameters() if p.grad is not None}
+    finally:
+        ref_models.adj2par1 = orig_adj2par1
+
+    save("grad_tsp_pyr", out=out.detach(), y=y, loss=loss.detach(),
+         loss64=loss64.detach(),
+         num_node1=batch.num_node1, num_edge1=batch.num_edge1,
+         **_batch_arrays(batch, ["x_t", "x_s", "edge_index_t",
+                                 "edge_weight_t", "edge_index_s",
+                                 "edge_weight_s", "edge_index"]),
+         **_sd(model), **_grads_of(model), **gd64)
+
+
 if __name__ == "__main__":
     fixture_laguerre()
     fixture_cheb()
@@ -358,4 +611,9 @@ if __name__ == "__main__":
     fixture_model_zinc_pyr()
     fixture_model_tsp_pyr()
     fixture_model_zinc_attpool()
+    fixture_model_cifar_attpool()
+    fixture_model_pepfunc_attpool()
+    fixture_model_abcd_attpool()
+    fixture_grad_zinc_pyr()
+    fixture_grad_tsp_pyr()
     print("reference fixtures complete")

@@ -243,6 +243,45 @@ def remove_self_loops(edge_index, edge_attr=None):
     return ei, (edge_attr[mask] if edge_attr is not None else None)
 
 
+def remove_isolated_nodes(edge_index, edge_attr=None, num_nodes=None):
+    """PyG semantics: drop nodes with no incident edge, relabel the rest to
+    consecutive ids; returns (edge_index, edge_attr, keep_mask) (used by the
+    DEMO MLGC_Weight, HL-HGAT-DEMO/lib/Hodge_Dataset.py:234)."""
+    n = maybe_num_nodes(edge_index, num_nodes)
+    mask = torch.zeros(n, dtype=torch.bool)
+    mask[edge_index.view(-1)] = True
+    relabel = torch.full((n,), -1, dtype=torch.long)
+    relabel[mask] = torch.arange(int(mask.sum()))
+    return relabel[edge_index], edge_attr, mask
+
+
+class SparseTensor:
+    """Minimal torch_sparse.SparseTensor: COO triple + transpose + matmul —
+    the surface the DEMO ``HodgeLaguerreFastConv`` touches
+    (HL-HGAT-DEMO/lib/Hodge_Cheb_Conv.py:349-350,578)."""
+
+    def __init__(self, row=None, col=None, value=None, sparse_sizes=None):
+        self.row = row
+        self.col = col
+        self.value = value
+        if sparse_sizes is None:
+            sparse_sizes = (int(row.max()) + 1, int(col.max()) + 1)
+        self.sparse_sizes = sparse_sizes
+
+    def t(self):
+        return SparseTensor(
+            row=self.col, col=self.row, value=self.value,
+            sparse_sizes=(self.sparse_sizes[1], self.sparse_sizes[0]),
+        )
+
+
+def sparse_matmul(adj, x, reduce="add"):
+    """torch_sparse.matmul(adj, x): out[r] += value * x[c] per nonzero."""
+    assert reduce in ("add", "sum")
+    out = x.new_zeros(adj.sparse_sizes[0], x.shape[1])
+    return out.index_add_(0, adj.row, adj.value.view(-1, 1) * x[adj.col])
+
+
 # ---------------------------------------------------------------------------
 # torch_geometric.data
 # ---------------------------------------------------------------------------
@@ -349,6 +388,7 @@ class Batch(Data):
                 out._store[k] = vals
         if n_batch:
             out._store["batch"] = torch.cat(n_batch)
+        out._store["num_graphs"] = len(data_list)
         return out
 
 
@@ -641,6 +681,7 @@ def install():
         unbatch=unbatch,
         unbatch_edge_index=unbatch_edge_index,
         maybe_num_nodes=maybe_num_nodes,
+        remove_isolated_nodes=remove_isolated_nodes,
     )
     _mod("torch_geometric.utils.num_nodes", maybe_num_nodes=maybe_num_nodes)
     utils.num_nodes = sys.modules["torch_geometric.utils.num_nodes"]
@@ -676,7 +717,9 @@ def install():
     nn_mod.inits = sys.modules["torch_geometric.nn.inits"]
     nn_mod.pool = sys.modules["torch_geometric.nn.pool"]
 
-    _mod("torch_geometric.typing", OptTensor=object)
+    _mod("torch_geometric.typing", OptTensor=object,
+         SparseTensor=SparseTensor)
+    _mod("torch_sparse", SparseTensor=SparseTensor, matmul=sparse_matmul)
 
     class _DataLoader(torch.utils.data.DataLoader):
         def __init__(self, dataset, batch_size=1, shuffle=False, **kw):
