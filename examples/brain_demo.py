@@ -1,19 +1,26 @@
 """Brain fMRI pipeline demo — the OHBM notebook flow, end to end.
 
-Replicates HL-HGAT-DEMO/OHBM_DEMO.ipynb (init → train → analyze) on
-synthetic fMRI data (or a real ``.npz``/``.mat`` with ``timeseries``
-[subjects, rois, T] and ``scores`` [subjects]):
+Replicates HL-HGAT-DEMO/OHBM_DEMO.ipynb (init → train → analyze).  By
+default (``--real auto``) it uses the REFERENCE'S REAL GROUP DATA when
+present: the shipped ``Group_FC.mat``/``Group_FCMask.mat`` build the real
+Shen-268 skeleton and MLGC_Weight pyramid (notebook cell 46 — level-1
+nodes+edges lands on the pretrained checkpoint's 2815), and
+``affiliations.mat`` provides the real lobe ordering for the attention
+matrix.  Only the per-subject fMRI series are synthetic (``DEMO_DATA.mat``
+is LFS-missing); pass ``--data`` to supply real series.
 
-1. **init**: group FC tensor → ``fc2mask`` skeleton → shared simplex complex
-   → two ``MLGC_Weight``-style coarsening levels (single-fine-edge pruning +
-   isolated-node dropping);
+1. **init**: group FC → skeleton (``fc2mask`` when synthetic; the shipped
+   study mask when real) → shared simplex complex → ``MLGC_Weight``
+   coarsening (single-fine-edge pruning + isolated-node dropping);
 2. **train**: ``HLHGATAttpool`` (Inception1D time embedding, FastConv-style
-   trunk, 2× attention pooling, flatten readout) on z-scored IQ targets with
+   trunk, attention pooling, flatten readout) on z-scored IQ targets with
    MSE; reports Pearson r + RMSE;
-3. **analyze**: subject-averaged edge-attention → symmetric ROI×ROI matrix
-   sorted by parcels (``plt_sort_anatomy`` equivalent).
+3. **analyze**: subject-averaged edge-attention → symmetric ROI×ROI matrix,
+   lobe-sorted exactly like ``plt_sort_anatomy`` (real affiliations when
+   available).
 
-    python examples/brain_demo.py [--subjects 24 --rois 32 --t 96 --epochs 5]
+    python examples/brain_demo.py [--epochs 5]            # real structure
+    python examples/brain_demo.py --real off --rois 32    # fully synthetic
 """
 
 from __future__ import annotations
@@ -36,6 +43,10 @@ def main(argv=None) -> None:
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--mask_percent", type=float, default=0.2)
     ap.add_argument("--data", default=None, help="npz with timeseries/scores")
+    ap.add_argument(
+        "--real", default="auto", choices=["auto", "on", "off"],
+        help="use the reference's real Group_FC/FCMask/affiliations "
+             "(auto: when the reference data dir exists)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -47,13 +58,25 @@ def main(argv=None) -> None:
 
     from hl_hgat_tpu.complex.build import build_structure, collate
     from hl_hgat_tpu.complex.coarsen import mlgc
+    from hl_hgat_tpu.data import brain as brain_data
     from hl_hgat_tpu.data.datasets import brain_sample, fc2mask
     from hl_hgat_tpu.models import presets
     from hl_hgat_tpu.train import Trainer, TrainerConfig
     from hl_hgat_tpu.train.metrics import pearson_corr
     from hl_hgat_tpu.utils import attention_fc_matrix, sort_by_parcels
 
+    use_real = args.real == "on" or (
+        args.real == "auto" and os.path.isdir(brain_data.REFERENCE_BRAIN_DIR)
+        and args.data is None
+    )
     rng = np.random.default_rng(0)
+    if use_real:
+        # REAL group inputs: skeleton + pyramid exactly as notebook cell 46
+        levels, pools, _skw = brain_data.build_real_brain_pyramid(pool_num=2)
+        src, dst = levels[0].src, levels[0].dst
+        args.rois = levels[0].num_nodes
+        print(f"REAL skeleton: {args.rois} ROIs, {src.size} edges "
+              f"(level-1 n+e = {levels[1].num_nodes + levels[1].num_edges})")
     if args.data:
         z = np.load(args.data)
         ts_all, scores = z["timeseries"], z["scores"]
@@ -74,29 +97,30 @@ def main(argv=None) -> None:
             scores[s] = 95.1377 + 7.3 * (strength - 1.25)
 
     # ---- init: group skeleton + shared pyramid -----------------------------
-    fcs = np.stack([np.corrcoef(ts) for ts in ts_all])
-    mask = fc2mask(fcs, percent=args.mask_percent, mode=1)
-    src, dst = np.nonzero(mask)
-    order = np.argsort(src * mask.shape[0] + dst)
-    src, dst = src[order].astype(np.int32), dst[order].astype(np.int32)
-    print(f"skeleton: {args.rois} ROIs, {src.size} edges")
+    if not use_real:
+        fcs = np.stack([np.corrcoef(ts) for ts in ts_all])
+        mask = fc2mask(fcs, percent=args.mask_percent, mode=1)
+        src, dst = np.nonzero(mask)
+        order = np.argsort(src * mask.shape[0] + dst)
+        src, dst = src[order].astype(np.int32), dst[order].astype(np.int32)
+        print(f"skeleton: {args.rois} ROIs, {src.size} edges")
 
-    levels = [build_structure(src, dst, args.rois)]
-    pools = []
-    mean_fc_w = np.abs(fcs.mean(0))[src, dst]
-    weight = mean_fc_w
-    for lvl in range(2):
-        step = mlgc(
-            levels[-1], edge_weight=weight,
-            prune_single_fine_edges=True, drop_isolated_nodes=True,
-        )
-        levels.append(step.structure)
-        pools.append((step.c_node, step.c_edge))
-        weight = None
-        print(
-            f"  pool {lvl}: {step.structure.num_nodes} nodes / "
-            f"{step.structure.num_edges} edges"
-        )
+        levels = [build_structure(src, dst, args.rois)]
+        pools = []
+        mean_fc_w = np.abs(fcs.mean(0))[src, dst]
+        weight = mean_fc_w
+        for lvl in range(2):
+            step = mlgc(
+                levels[-1], edge_weight=weight,
+                prune_single_fine_edges=True, drop_isolated_nodes=True,
+            )
+            levels.append(step.structure)
+            pools.append((step.c_node, step.c_edge))
+            weight = None
+            print(
+                f"  pool {lvl}: {step.structure.num_nodes} nodes / "
+                f"{step.structure.num_edges} edges"
+            )
 
     samples = [
         brain_sample(ts_all[s], src, dst, levels, pools, y=scores[s], rng=rng)
@@ -185,13 +209,26 @@ def main(argv=None) -> None:
     # ---- analyze: anatomically sorted attention ----------------------------
     mean_att = np.concatenate(edge_atts).mean(0)
     fc_att = attention_fc_matrix(mean_att, src, dst, args.rois)
-    parcels = rng.integers(0, 4, args.rois)  # synthetic lobe labels
-    sorted_m, perm, bounds = sort_by_parcels(fc_att, parcels)
-    print(
-        f"attention FC matrix {fc_att.shape}, parcel boundaries at "
-        f"{bounds.tolist()}; top-attention edge: "
-        f"{np.unravel_index(np.argmax(fc_att), fc_att.shape)}"
-    )
+    if use_real:
+        aff = brain_data.load_affiliations()
+        out = brain_data.lobe_sorted_matrix(
+            fc_att, aff["affiliation"], aff["lobe_names"])
+        print(
+            f"attention FC matrix {fc_att.shape}, lobe-sorted with the real "
+            f"affiliations; blocks: "
+            + ", ".join(f"{n}={s}" for n, s in
+                        zip(out["labels"][:4], out["sizes"][:4])) + ", ...; "
+            f"top-attention edge: "
+            f"{np.unravel_index(np.argmax(fc_att), fc_att.shape)}"
+        )
+    else:
+        parcels = rng.integers(0, 4, args.rois)  # synthetic lobe labels
+        sorted_m, perm, bounds = sort_by_parcels(fc_att, parcels)
+        print(
+            f"attention FC matrix {fc_att.shape}, parcel boundaries at "
+            f"{bounds.tolist()}; top-attention edge: "
+            f"{np.unravel_index(np.argmax(fc_att), fc_att.shape)}"
+        )
 
 
 if __name__ == "__main__":

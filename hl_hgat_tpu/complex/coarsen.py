@@ -37,6 +37,8 @@ def graclus_cluster(
     num_nodes: int,
     *,
     rng: np.random.Generator | None = None,
+    visit: np.ndarray | None = None,
+    directed: bool = False,
     impl: str = "auto",
 ) -> np.ndarray:
     """Greedy heavy-edge matching; returns a cluster id per node.
@@ -47,8 +49,17 @@ def graclus_cluster(
     singletons.  Ids are representative node indices, remapped to dense
     0..C−1 by the caller exactly as the reference's ``torch.unique`` + dict
     pass does (reference lib/Hodge_Dataset.py:254-259).
+
+    ``visit``/``directed`` reproduce torch-cluster's exact behaviour on a
+    CANONICAL (src<dst) edge list: torch-cluster visits nodes in a
+    ``torch.randperm`` order and does NOT symmetrize the input, so a node
+    only sees neighbours it points TO.  ``visit=torch.randperm(n)`` under
+    ``torch.manual_seed(10086)`` + ``directed=True`` reproduces the shipped
+    brain checkpoint's training pyramid EXACTLY (268→139 nodes,
+    8997→2676 edges, num_nodepedge 2815 = the checkpoint's flatten-head
+    width; OHBM_DEMO.ipynb cell 46 sets that seed before MLGC_Weight).
     """
-    if rng is None and impl != "python":
+    if rng is None and visit is None and not directed and impl != "python":
         from hl_hgat_tpu import native
 
         out = native.graclus_match(src, dst, weight, num_nodes)
@@ -65,11 +76,15 @@ def graclus_cluster(
         if u == v:
             continue
         nbr[u].append((v, w[i]))
-        nbr[v].append((u, w[i]))
+        if not directed:
+            nbr[v].append((u, w[i]))
     match = np.full(num_nodes, -1, np.int64)
-    visit = np.arange(num_nodes)
-    if rng is not None:
-        rng.shuffle(visit)
+    if visit is not None:
+        visit = np.asarray(visit, np.int64)
+    else:
+        visit = np.arange(num_nodes)
+        if rng is not None:
+            rng.shuffle(visit)
     for u in visit:
         if match[u] >= 0:
             continue
@@ -134,6 +149,8 @@ def mlgc(
     x_s: np.ndarray | None = None,
     prune_single_fine_edges: bool = False,
     drop_isolated_nodes: bool = False,
+    visit: np.ndarray | None = None,
+    directed_match: bool = False,
 ) -> MLGCLevel:
     """One MLGC coarsening step.
 
@@ -151,7 +168,8 @@ def mlgc(
     """
     src, dst = structure.src, structure.dst
     n = structure.num_nodes
-    rep = graclus_cluster(src, dst, edge_weight, n)
+    rep = graclus_cluster(
+        src, dst, edge_weight, n, visit=visit, directed=directed_match)
     uniq = np.unique(rep)
     remap = {int(r): i for i, r in enumerate(uniq)}
     c_node = np.asarray([remap[int(r)] for r in rep], np.int64)

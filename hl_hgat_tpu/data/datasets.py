@@ -233,43 +233,57 @@ def cifar10sp_sample(
 
 
 def fc2mask(
-    fcs: np.ndarray, percent: float = 0.1, mode: int = 1
+    fcs: np.ndarray, percent: float = 0.25, mode: int = 1
 ) -> np.ndarray:
     """Group-level FC skeleton (reference FC2mask,
-    HL-HGAT-DEMO/lib/Hodge_Dataset.py:148-178): upper-triangular 0/1 mask by
-    (1) top-k% |mean FC|, (2) bottom-k% coefficient of variation, or
-    (3) per-ROI top-k strongest connections."""
+    HL-HGAT-DEMO/lib/Hodge_Dataset.py:148-178), faithful to the reference's
+    exact semantics (pinned on the real ``Group_FC.mat`` by
+    tests/test_brain_real.py):
+
+    * mode 1: threshold at the k-th largest POSITIVE |mean FC| entry of the
+      FULL matrix with ``k = int(percent · n²)``, strict ``>`` — counting
+      both triangles and the diagonal, as the reference does;
+    * mode 2: coefficient of variation std/|mean| (torch's UNBIASED std,
+      ddof=1), threshold at the k-th smallest positive entry, strict ``<``;
+    * mode 3: per-ROI top-``int(n·percent)``; reproduces the reference's
+      loop-variable quirk — ``v,i = mean_FC[i].topk(...)`` overwrites the
+      row index with the top-k INDEX tensor before ``temp`` is computed,
+      so ``temp = mean_FC[i] > v[-1]`` thresholds the k rows NAMED by the
+      indices (a [k, n] matrix) at row-i's cutoff and writes them back to
+      those same rows (``mask[i] = temp``); the result is then
+      symmetrized and capped at 1.
+
+    The mask is returned strictly upper-triangular (``triu(1)``)."""
     n = fcs.shape[-1]
     mean_fc = np.abs(fcs.mean(0))
-    iu = np.triu_indices(n, 1)
-    mask = np.zeros((n, n), np.float32)
     if mode == 1:
-        vals = mean_fc[iu]
-        k = max(int(round(percent * vals.size)), 1)
-        thresh = np.sort(vals)[-k]
-        sel = vals >= thresh
+        pos = mean_fc[mean_fc > 0]
+        k = int(percent * n * n)
+        thresh = np.sort(pos)[-k]
+        mask = (mean_fc > thresh).astype(np.float64)
     elif mode == 2:
-        cv = fcs.std(0) / np.maximum(np.abs(fcs.mean(0)), 1e-12)
-        vals = cv[iu]
-        k = max(int(round(percent * vals.size)), 1)
-        thresh = np.sort(vals)[k - 1]
-        sel = vals <= thresh
+        std_fc = fcs.std(0, ddof=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cv = std_fc / mean_fc
+        pos = cv[cv > 0]
+        k = int(percent * n * n)
+        thresh = np.sort(pos)[k - 1]
+        mask = (cv < thresh).astype(np.float64)
     elif mode == 3:
-        k = max(int(round(percent * n)), 1)
-        sel = np.zeros(iu[0].size, bool)
-        full = mean_fc.copy()
-        np.fill_diagonal(full, -np.inf)
-        for i in range(n):
-            top = np.argsort(-full[i])[:k]
-            for j in top:
-                a, b = min(i, int(j)), max(i, int(j))
-                idx = np.nonzero((iu[0] == a) & (iu[1] == b))[0]
-                if idx.size:
-                    sel[idx[0]] = True
+        mask = np.zeros_like(mean_fc, dtype=np.float64)
+        k = int(n * percent)
+        for r in range(n):
+            row = mean_fc[r]
+            idx = np.argsort(-row, kind="stable")[:k]
+            # reference quirk: i is the INDEX tensor by now, so temp is
+            # the [k, n] block mean_FC[idx] thresholded at row-r's cutoff,
+            # written back to rows idx
+            mask[idx] = (mean_fc[idx] > row[idx[-1]]).astype(np.float64)
+        mask = mask + mask.T
+        mask[mask == 2] = 1
     else:
         raise ValueError(f"unknown mode {mode}")
-    mask[iu[0][sel], iu[1][sel]] = 1.0
-    return mask
+    return np.triu(mask, 1).astype(np.float32)
 
 
 def brain_sample(
@@ -287,15 +301,16 @@ def brain_sample(
 ) -> GraphSample:
     """One subject (reference Brain_MLGC_ALL.get(),
     HL-HGAT-DEMO/lib/Hodge_Dataset.py:110-145): optional random temporal
-    crop, z-score the time courses, Pearson FC sampled at the shared
-    skeleton, z-scored target; the shared structure pyramid is reused."""
+    crop, z-score the time courses by the GLOBAL scalar mean/std (the
+    reference's ``(fmri - fmri.mean()) / fmri.std()`` — unbiased std, one
+    scalar over all ROIs×time, reference :137), Pearson FC sampled at the
+    shared skeleton, z-scored target; the shared structure pyramid is
+    reused."""
     ts = timeseries
     if crop_len is not None and rng is not None and ts.shape[1] > crop_len:
         start = int(rng.integers(0, ts.shape[1] - crop_len + 1))
         ts = ts[:, start : start + crop_len]
-    ts = (ts - ts.mean(1, keepdims=True)) / np.maximum(
-        ts.std(1, keepdims=True), 1e-12
-    )
+    ts = (ts - ts.mean()) / max(float(ts.std(ddof=1)), 1e-12)
     fc = np.corrcoef(ts)
     x_s = fc[skeleton_src, skeleton_dst].reshape(-1, 1).astype(np.float32)
     return GraphSample(

@@ -101,6 +101,10 @@ class BackboneConfig:
     #   'never' — pure pieces: zero concat writes, O(L) residuals, but each
     #             MSI GEMM pays one [N, 2dv] f32 partial sum per piece.
     stack_concat: str = "block"
+    # Reproduce the DEMO fast-conv K>2 recurrence deviation (nn/conv.py
+    # polynomial_terms 'laguerre_demo') — needed to run the shipped
+    # pretrained brain checkpoint faithfully; default stays the fixed math.
+    demo_conv_compat: bool = False
 
 
 class DenseInt3Backbone(nn.Module):
@@ -140,11 +144,11 @@ class DenseInt3Backbone(nn.Module):
         # separate execution for COO layouts or unequal feature widths)
         init_node = ConvBNAct(
             cfg.filters[0], cfg.init_k, cfg.act, cfg.leaky_slope, cfg.dropout,
-            name="init_node",
+            demo_compat=cfg.demo_conv_compat, name="init_node",
         )
         init_edge = ConvBNAct(
             cfg.filters[0], cfg.init_k, cfg.act, cfg.leaky_slope, cfg.dropout,
-            name="init_edge",
+            demo_compat=cfg.demo_conv_compat, name="init_edge",
         )
         merged_init = merged_conv_pair(
             init_node, init_edge, x_t, x_s, level, deterministic
@@ -200,6 +204,7 @@ class DenseInt3Backbone(nn.Module):
                     )(pieces_t, pieces_s, level, deg, deterministic)
                     x_t, x_s = NEPairCls(
                         width, cfg.k, cfg.act, cfg.leaky_slope, cfg.dropout,
+                        demo_compat=cfg.demo_conv_compat,
                         name=f"NEConv{i}{j}",
                     )(x_t, x_s, level, deterministic)
                 else:
@@ -208,6 +213,7 @@ class DenseInt3Backbone(nn.Module):
                     # the reference does every layer
                     x_t, x_s = NEPairCls(
                         width, cfg.k, cfg.act, cfg.leaky_slope, cfg.dropout,
+                        demo_compat=cfg.demo_conv_compat,
                         name=f"NEConv{i}{j}",
                     )(
                         jnp.concatenate(pieces_t, axis=-1),

@@ -215,13 +215,19 @@ def hgat_attpool(
     channels=(2, 2, 2), filters=(32, 64, 128), k=4, dropout=0.0,
     mlp_channels=(), pool_num=2, nodes_per_graph=0, edges_per_graph=0,
     fine_nodes_per_graph=0, fine_edges_per_graph=0, use_inception=True,
+    demo_conv_compat=False,
 ):
+    """``demo_conv_compat=True`` reproduces the DEMO fast-conv K>2
+    recurrence the shipped ``HL_HGAT_Brain.pt`` was trained with
+    (HL-HGAT-DEMO/lib/Hodge_Cheb_Conv.py:561); default keeps the fixed
+    canonical recurrence."""
     cfg = BackboneConfig(
         channels=tuple(channels), filters=tuple(filters), k=k, init_k=k,
         act="leaky_relu", dropout=dropout, deg_eps=1e-6,
         pool_locs=tuple(range(pool_num)), att_sigma="sigmoid",
         gate_input="stack", gate_target="stack",
         stack_concat="layer",  # pooled family: measured faster than "block"
+        demo_conv_compat=demo_conv_compat,
     )
     return HLHGATAttpool(
         cfg=cfg, mlp_channels=tuple(mlp_channels),

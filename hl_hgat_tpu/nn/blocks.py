@@ -124,6 +124,8 @@ def merged_conv_pair(
     """
     if not use_merged_pair() or node.k != edge.k:
         return None
+    if node.demo_compat or edge.demo_compat:
+        return None  # compat recurrence runs the plain per-path terms
     if use_fused_dense() or use_terms_kernel() or use_adjoint_conv():
         return None  # those paths have their own kernels/backwards
     bt, st = _blocks_and_spill(level.l0)
@@ -183,6 +185,7 @@ class ConvBNAct(nn.Module):
     act: str = "relu"
     leaky_slope: float = 0.1
     dropout: float = 0.0
+    demo_compat: bool = False  # DEMO K>2 recurrence (nn/conv.py)
 
     @nn.compact
     def __call__(
@@ -194,7 +197,8 @@ class ConvBNAct(nn.Module):
         # in their usual scope and returns them; the caller runs the
         # recurrence + GEMM on the concatenated blocks and calls again with
         # ``conv_result`` so only BN/act/dropout run here.
-        conv = LaguerreConv(self.features, self.k, name="conv")
+        conv = LaguerreConv(self.features, self.k,
+                            demo_compat=self.demo_compat, name="conv")
         if just_conv_params:
             return conv(x, lap, just_params=True)
         x = conv(x, lap) if conv_result is None else conv_result
@@ -216,6 +220,7 @@ class NEConvPair(nn.Module):
     act: str = "relu"
     leaky_slope: float = 0.1
     dropout: float = 0.0
+    demo_compat: bool = False
 
     @nn.compact
     def __call__(
@@ -224,11 +229,11 @@ class NEConvPair(nn.Module):
         # positional-friendly ``deterministic`` for nn.remat static_argnums
         node = ConvBNAct(
             self.features, self.k, self.act, self.leaky_slope, self.dropout,
-            name="node",
+            demo_compat=self.demo_compat, name="node",
         )
         edge = ConvBNAct(
             self.features, self.k, self.act, self.leaky_slope, self.dropout,
-            name="edge",
+            demo_compat=self.demo_compat, name="edge",
         )
         merged = merged_conv_pair(node, edge, x_t, x_s, level, deterministic)
         if merged is not None:

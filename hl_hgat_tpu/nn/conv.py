@@ -121,11 +121,20 @@ def _lap_matvec(lap) -> Callable[[Array], Array]:
 def polynomial_terms(
     x: Array, lap, k: int, *, kind: str = "laguerre"
 ) -> list[Array]:
-    """The K polynomial features [T_0(L)x, ..., T_{K-1}(L)x]."""
+    """The K polynomial features [T_0(L)x, ..., T_{K-1}(L)x].
+
+    ``kind='laguerre_demo'`` reproduces the DEMO fast-conv's K>2 deviation
+    (HL-HGAT-DEMO/lib/Hodge_Cheb_Conv.py:561 applies L to the ORIGINAL
+    input instead of the previous term, so every step reuses L·x).  The
+    shipped ``HL_HGAT_Brain.pt`` checkpoint was trained WITH that
+    recurrence at K=4, so running it faithfully requires this mode; it is
+    opt-in (``demo_compat``) and the canonical recurrence stays the
+    default."""
     matvec = _lap_matvec(lap)
     terms = [x]
     if k > 1:
-        t1 = x - matvec(x) if kind == "laguerre" else matvec(x)
+        lx = matvec(x)
+        t1 = x - lx if kind != "chebyshev" else lx
         terms.append(t1)
     if kind == "laguerre":
         j = 1
@@ -135,6 +144,12 @@ def polynomial_terms(
             )
             j += 1
             terms.append(t2)
+    elif kind == "laguerre_demo":
+        j = 1
+        for _ in range(2, k):
+            t2 = (-lx + (2 * j + 1) * terms[-1] - j * terms[-2]) / (j + 1)
+            j += 1
+            terms.append(t2)
     else:
         for _ in range(2, k):
             terms.append(2.0 * matvec(terms[-1]) - terms[-2])
@@ -142,10 +157,14 @@ def polynomial_terms(
 
 
 def laguerre_matvec(
-    x: Array, lap, weights: Array, bias: Array | None = None
+    x: Array, lap, weights: Array, bias: Array | None = None,
+    *, demo_compat: bool = False,
 ) -> Array:
     """Functional Laguerre filter: weights [K, C, F], x [N, C] or [N, T, C]."""
-    return _apply_poly(x, lap, weights, bias, kind="laguerre")
+    return _apply_poly(
+        x, lap, weights, bias,
+        kind="laguerre_demo" if demo_compat else "laguerre",
+    )
 
 
 def chebyshev_matvec(
@@ -307,11 +326,16 @@ def _apply_poly(x, lap, weights, bias, *, kind):
 
 
 class LaguerreConv(nn.Module):
-    """K-term Laguerre spectral conv (reference HodgeLaguerreConv)."""
+    """K-term Laguerre spectral conv (reference HodgeLaguerreConv).
+
+    ``demo_compat`` opts into the DEMO fast-conv K>2 recurrence deviation
+    (see :func:`polynomial_terms`) — required to run the shipped pretrained
+    brain checkpoint bit-faithfully."""
 
     features: int
     k: int
     use_bias: bool = True
+    demo_compat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, lap, *, just_params: bool = False):
@@ -328,7 +352,7 @@ class LaguerreConv(nn.Module):
             # scope — the tree is identical to the unmerged path — while the
             # caller runs the recurrence + GEMM on the concatenated blocks
             return w, b
-        return laguerre_matvec(x, lap, w, b)
+        return laguerre_matvec(x, lap, w, b, demo_compat=self.demo_compat)
 
 
 class ChebConv(nn.Module):
