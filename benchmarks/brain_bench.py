@@ -1,0 +1,142 @@
+"""Brain-workload throughput: HL_HGAT_attpool training step on the REAL
+Shen-268 structure (one chip).
+
+The reference's brain workload (HL-HGAT-DEMO/OHBM_DEMO.ipynb) trains
+``HL_HGAT_attpool`` on batches of subjects sharing ONE skeleton: 268 ROIs /
+8997 FC edges, coarsened twice by ``MLGC_Weight``.  This bench builds that
+exact real structure (``hl_hgat_tpu.data.brain`` — the pyramid whose
+level-1 nodes+edges equals the shipped checkpoint's 2815) with synthetic
+per-subject series, and measures the full training step (Inception1D
+embedding, dense-int3 trunk, attention pooling, flatten head, MSE, Adam).
+
+Layout note: the flatten readout needs contiguous per-graph rows, which the
+packed superblock layout reorders away, so this model family runs the flat
+COO path; the brain graph's L0 is 25% dense at 268 rows, far below the
+dense-pack caps anyway.
+
+    python benchmarks/brain_bench.py [batch_subjects] [--t 128] [--pool_num 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("batch_subjects", nargs="?", type=int, default=16)
+    ap.add_argument("--t", type=int, default=128)
+    ap.add_argument("--pool_num", type=int, default=2)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    except Exception:
+        pass
+
+    import dataclasses
+
+    import optax
+
+    from hl_hgat_tpu.complex.build import collate
+    from hl_hgat_tpu.data.brain import build_real_brain_pyramid
+    from hl_hgat_tpu.data.datasets import brain_sample
+    from hl_hgat_tpu.models import presets
+    from hl_hgat_tpu.train.optim import adam_l2
+
+    t0 = time.time()
+    levels, pools, _w = build_real_brain_pyramid(pool_num=args.pool_num)
+    src, dst = levels[0].src, levels[0].dst
+    rng = np.random.default_rng(0)
+    samples = [
+        brain_sample(
+            rng.standard_normal((levels[0].num_nodes, args.t)),
+            src, dst, levels, pools,
+            y=95.1377 + 7.3 * rng.standard_normal(),
+        )
+        for _ in range(args.batch_subjects)
+    ]
+    batch = jax.tree.map(jnp.asarray, collate(samples, multiple=1))
+    build_s = time.time() - t0
+    real_edges = args.batch_subjects * src.shape[0]
+
+    final = levels[args.pool_num]
+    model, meta = presets.hgat_attpool(
+        pool_num=args.pool_num,
+        mlp_channels=(64,),
+        nodes_per_graph=final.num_nodes, edges_per_graph=final.src.shape[0],
+        fine_nodes_per_graph=levels[0].num_nodes,
+        fine_edges_per_graph=src.shape[0],
+    )
+    model = dataclasses.replace(
+        model, cfg=dataclasses.replace(model.cfg, compute_dtype=args.dtype),
+    )
+    variables = model.init(
+        {"params": jax.random.key(0)}, batch, deterministic=True)
+    params, bstats = variables["params"], variables.get("batch_stats", {})
+    tx = adam_l2(1e-3)
+    opt_state = tx.init(params)
+
+    def step(carry, _):
+        params, bstats, opt_state = carry
+
+        def loss_fn(p):
+            (pred, *_), mut = model.apply(
+                {"params": p, "batch_stats": bstats}, batch,
+                deterministic=False, mutable=["batch_stats"],
+            )
+            return jnp.mean((pred.reshape(-1) - batch.y.reshape(-1)) ** 2), mut
+
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, mut["batch_stats"], opt_state), loss
+
+    @jax.jit
+    def multi(params, bstats, opt_state):
+        (params, bstats, opt_state), losses = jax.lax.scan(
+            step, (params, bstats, opt_state), None, length=STEPS)
+        return params, bstats, opt_state, losses
+
+    def sync(x):
+        return float(np.asarray(x)[-1])
+
+    t0 = time.time()
+    params, bstats, opt_state, losses = multi(params, bstats, opt_state)
+    sync(losses)
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        params, bstats, opt_state, losses = multi(params, bstats, opt_state)
+        sync(losses)
+        times.append(time.time() - t0)
+    sps = STEPS / min(times)
+    print(json.dumps(dict(
+        metric="brain_edges_per_sec", value=round(real_edges * sps, 1),
+        unit="edges/s", batch_subjects=args.batch_subjects, t=args.t,
+        rois=levels[0].num_nodes, skeleton_edges=int(src.shape[0]),
+        pool_num=args.pool_num, real_edges=real_edges,
+        steps_per_sec=round(sps, 3), subjects_per_sec=round(
+            args.batch_subjects * sps, 2),
+        compile_s=round(compile_s, 1), build_s=round(build_s, 1),
+        final_loss=sync(losses), backend=jax.default_backend(),
+    )), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -602,6 +602,85 @@ def fixture_grad_tsp_pyr():
          **_sd(model), **_grads_of(model), **gd64)
 
 
+def fixture_traj_zinc():
+    """20+-epoch side-by-side training oracle: the reference model trained
+    with the reference scripts' exact optimization semantics — torch Adam
+    (coupled L2, main_zinc...py:209) + ReduceLROnPlateau stepped on the
+    eval-mode validation loss (:210-211,235) — on a fixed synthetic
+    dataset from a saved init.  The parity test replays the SAME data/
+    init/schedule through the JAX stack and demands matching loss + lr
+    trajectories (optimization-level parity, one level above activations).
+
+    patience=3 (vs the script's 10) so the plateau reduction actually
+    fires inside the short run; the state-machine semantics are identical.
+    """
+    torch.manual_seed(1300)
+    node_dim, edge_dim, keig = 5, 3, 4
+    gen = torch.Generator().manual_seed(1301)
+    graphs, ys = [], []
+    sizes = [(10, 4), (8, 3), (13, 6), (9, 4), (11, 5), (12, 4),
+             (10, 5), (8, 4), (14, 6), (9, 3), (11, 4), (10, 3)]
+    for gi, (n, extra) in enumerate(sizes):
+        ei = make_graph(n, extra, seed=1400 + gi)
+        x_t = torch.randn(n, node_dim + keig, generator=gen)
+        x_s = torch.randn(ei.shape[1], edge_dim + keig, generator=gen)
+        y = torch.randn(1, generator=gen)
+        graphs.append(_pair_from_graph(ei, n, x_t, x_s, y))
+        ys.append(y)
+    batch_size, epochs = 4, 40
+    batches = [Batch.from_data_list(graphs[i:i + batch_size])
+               for i in range(0, len(graphs), batch_size)]
+    full = Batch.from_data_list(graphs)
+
+    model = ref_models.HL_HGCNN_zinc_dense_int3_pyr(
+        channels=[2, 2], filters=[8, 16], mlp_channels=[8], K=3,
+        node_dim=node_dim, edge_dim=edge_dim, keig=keig,
+    )
+    init_sd = {f"sd/{k}": v.detach().numpy().copy()
+               for k, v in model.state_dict().items()}
+    optimizer = torch.optim.Adam(model.parameters(), lr=3e-3, weight_decay=1e-3)
+    # threshold=1e-3 (vs torch's 1e-4 default): the plateau comparison
+    # must sit ABOVE the ~1e-4 f32 eval-noise floor or the lr decisions
+    # become noise-coupled and unreproducible across frameworks; the state
+    # machine semantics are unchanged.
+    scheduler = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        optimizer, patience=3, factor=0.5, min_lr=1e-6, threshold=1e-3)
+    criterion = torch.nn.L1Loss()
+
+    train_losses, valid_losses, lrs = [], [], []
+    for _ in range(epochs):
+        model.train()
+        total, count = 0.0, 0
+        for b in batches:
+            optimizer.zero_grad()
+            out = model(b, device="cpu")
+            loss = criterion(out.view(-1, 1), b.y.view(-1, 1))
+            loss.backward()
+            optimizer.step()
+            g = int(b.num_node1.shape[0])
+            total += float(loss) * g
+            count += g
+        train_losses.append(total / count)
+        model.eval()
+        with torch.no_grad():
+            out = model(full, device="cpu")
+            vloss = float(criterion(out.view(-1, 1), full.y.view(-1, 1)))
+        valid_losses.append(vloss)
+        scheduler.step(vloss)
+        lrs.append(optimizer.param_groups[0]["lr"])
+
+    save("traj_zinc", train_losses=np.asarray(train_losses),
+         valid_losses=np.asarray(valid_losses), lrs=np.asarray(lrs),
+         num_node1=full.num_node1, num_edge1=full.num_edge1,
+         y=full.y, batch_size=np.asarray(batch_size),
+         **_batch_arrays(full, ["x_t", "x_s", "edge_index_t",
+                                "edge_weight_t", "edge_index_s",
+                                "edge_weight_s", "edge_index"]),
+         **init_sd,
+         **{f"fd/{k}": v.detach().numpy()
+            for k, v in model.state_dict().items()})
+
+
 if __name__ == "__main__":
     fixture_laguerre()
     fixture_cheb()
@@ -616,4 +695,5 @@ if __name__ == "__main__":
     fixture_model_abcd_attpool()
     fixture_grad_zinc_pyr()
     fixture_grad_tsp_pyr()
+    fixture_traj_zinc()
     print("reference fixtures complete")

@@ -71,6 +71,65 @@ class TestDataParallel:
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
             )
 
+    def test_dp_spill_matches_single_device(self, mesh8):
+        """Large-graph (BlockDiagMatrix) batches through the DP step: graphs
+        spanning several dense blocks carry banded/spill operators, and the
+        sharded step must equal the single-device step on them (the
+        large-graph layout x parallelism product)."""
+        from hl_hgat_tpu.complex.build import build_complex
+        from hl_hgat_tpu.complex.dense import (
+            BlockDiagMatrix,
+            collate_dense_packed,
+            reorder_sample,
+        )
+
+        rng = np.random.default_rng(7)
+        samples = []
+        for _ in range(4):
+            n = int(rng.integers(56, 88))  # > node_cap: spans 2-3 blocks
+            src = np.arange(n - 1)
+            dst = np.arange(1, n)
+            extra = rng.integers(0, n, (2, 40))
+            keep = extra[0] != extra[1]
+            src = np.concatenate([src, np.minimum(extra[0], extra[1])[keep]])
+            dst = np.concatenate([dst, np.maximum(extra[0], extra[1])[keep]])
+            key = src.astype(np.int64) * n + dst
+            uniq = np.unique(key)
+            ei = np.stack([uniq // n, uniq % n]).astype(np.int64)
+            e = ei.shape[1]
+            s_ = build_complex(
+                ei, n,
+                x_t=rng.standard_normal((n, 6)).astype(np.float32),
+                x_s=rng.standard_normal((e, 6)).astype(np.float32),
+                y=rng.standard_normal(1).astype(np.float32),
+            )
+            samples.append(reorder_sample(s_))
+        batch = collate_dense_packed(samples, node_cap=32, edge_cap=96)
+        lvl = batch.levels[0]
+        assert isinstance(lvl.l0, BlockDiagMatrix), "batch must exercise spill"
+        assert (lvl.l0.band_up is not None or lvl.l0.spill is not None)
+
+        model = small_model()
+        loss_fn = lambda out, b: l1_loss(out.reshape(-1), b.y.reshape(-1))  # noqa: E731
+        trainer = Trainer(model, TrainerConfig(task="regression", lr=1e-2))
+        state = trainer.init_state(jax.tree.map(jnp.asarray, batch))
+        dp_step = make_dp_train_step(model, trainer.tx, loss_fn, mesh8)
+        sharded = shard_batches(stack_batches([batch] * 8), mesh8)
+        dp_state, dp_loss = dp_step(replicate_state(state, mesh8), sharded)
+
+        local_state, local_loss = trainer._train_step(
+            trainer.init_state(jax.tree.map(jnp.asarray, batch)),
+            jax.tree.map(jnp.asarray, batch),
+        )
+        np.testing.assert_allclose(float(dp_loss), float(local_loss), rtol=1e-4)
+        for a, b in zip(
+            jax.tree.leaves(dp_state.params),
+            jax.tree.leaves(local_state.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+
     def test_dp_distinct_batches_runs(self, mesh8):
         model = small_model()
         loss_fn = lambda out, b: l1_loss(out.reshape(-1), b.y.reshape(-1))  # noqa: E731
