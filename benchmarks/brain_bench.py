@@ -91,23 +91,27 @@ def main():
     tx = adam_l2(1e-3)
     opt_state = tx.init(params)
 
-    def step(carry, _):
-        params, bstats, opt_state = carry
-
-        def loss_fn(p):
-            (pred, *_), mut = model.apply(
-                {"params": p, "batch_stats": bstats}, batch,
-                deterministic=False, mutable=["batch_stats"],
-            )
-            return jnp.mean((pred.reshape(-1) - batch.y.reshape(-1)) ** 2), mut
-
-        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, mut["batch_stats"], opt_state), loss
-
     @jax.jit
-    def multi(params, bstats, opt_state):
+    def multi(params, bstats, opt_state, batch):
+        def step(carry, _):
+            params, bstats, opt_state = carry
+
+            def loss_fn(p):
+                (pred, *_), mut = model.apply(
+                    {"params": p, "batch_stats": bstats}, batch,
+                    deterministic=False, mutable=["batch_stats"],
+                )
+                return (
+                    jnp.mean((pred.reshape(-1) - batch.y.reshape(-1)) ** 2),
+                    mut,
+                )
+
+            (loss, mut), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, mut["batch_stats"], opt_state), loss
+
         (params, bstats, opt_state), losses = jax.lax.scan(
             step, (params, bstats, opt_state), None, length=STEPS)
         return params, bstats, opt_state, losses
@@ -116,13 +120,14 @@ def main():
         return float(np.asarray(x)[-1])
 
     t0 = time.time()
-    params, bstats, opt_state, losses = multi(params, bstats, opt_state)
+    params, bstats, opt_state, losses = multi(params, bstats, opt_state, batch)
     sync(losses)
     compile_s = time.time() - t0
     times = []
     for _ in range(3):
         t0 = time.time()
-        params, bstats, opt_state, losses = multi(params, bstats, opt_state)
+        params, bstats, opt_state, losses = multi(
+            params, bstats, opt_state, batch)
         sync(losses)
         times.append(time.time() - t0)
     sps = STEPS / min(times)

@@ -207,12 +207,11 @@ def _combine_terms(terms, weights, bias, out_dtype):
         if bias is not None:
             out = out + bias.astype(out.dtype)
         return out.astype(out_dtype)
+    from hl_hgat_tpu.nn.gemm import stack_gemm
+
     out = None
     for kk, t in enumerate(terms):
-        part = jnp.einsum(
-            "...c,cf->...f", t, weights[kk].astype(t.dtype),
-            preferred_element_type=jnp.float32,
-        )
+        part = stack_gemm(t, weights[kk])
         out = part if out is None else out + part
     if bias is not None:
         out = out + bias.astype(out.dtype)

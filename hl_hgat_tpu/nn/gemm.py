@@ -1,0 +1,83 @@
+"""The stack GEMM y = x @ W with a choice of backward formulation.
+
+Round-2/3 profile finding (benchmarks/RESULTS.md, benchmarks/
+transpose_probe.py): the DenseNet-stack GEMMs are bandwidth-bound on
+re-reading the [G, S, C] stack operand, and the dW backward contracts the
+row axes while the forward contracts the channel axis — XLA materializes
+the stack in both orientations ({2,1,0}<->{1,2,0} transposes).
+
+``HLHGAT_SWAP_DW=1`` switches to a custom VJP that computes
+``dW = (g2ᵀ @ x2)ᵀ`` — consuming the big stack operand in its native
+orientation and transposing only the small [F, C] result — and expresses
+``dx`` via explicit ``dot_general`` dimension numbers.  Measured isolated
+(transpose_probe.py, v5e): ties the einsum autodiff at [72,128,576]×F for
+F ∈ {128, 1024} and beats it ~18% at C=320/F=256 (where einsum autodiff
+also hit a 92 s autotuner stall); never slower, and compiles 2-4× faster.
+Exact math: same contractions, f32 accumulation, different association
+only.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+_swap_dw_flag = os.environ.get("HLHGAT_SWAP_DW", "0") == "1"
+
+
+def use_swap_dw(enable: bool | None = None) -> bool:
+    """Get/set the swapped-dW backward for stack GEMMs."""
+    global _swap_dw_flag
+    if enable is not None:
+        _swap_dw_flag = enable
+    return _swap_dw_flag
+
+
+@jax.custom_vjp
+def _gemm_swap(x: Array, w: Array) -> Array:
+    return jnp.einsum(
+        "...c,cf->...f", x, w.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _gemm_swap_fwd(x, w):
+    return _gemm_swap(x, w), (x, w)
+
+
+def _gemm_swap_bwd(res, gy):
+    x, w = res
+    c = x.shape[-1]
+    f = w.shape[-1]
+    x2 = x.reshape(-1, c)
+    g2 = gy.reshape(-1, f)
+    dw_t = jax.lax.dot_general(
+        g2, x2.astype(g2.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [F, C] — only this small result is transposed
+    dw = dw_t.T.astype(w.dtype)
+    dx = jax.lax.dot_general(
+        g2, w.astype(g2.dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(x.shape).astype(gy.dtype)
+    return dx, dw
+
+
+_gemm_swap.defvjp(_gemm_swap_fwd, _gemm_swap_bwd)
+
+
+def stack_gemm(x: Array, w: Array) -> Array:
+    """``einsum('...c,cf->...f')`` with f32 accumulation; backward per
+    ``use_swap_dw``.  Returns the f32 accumulator (caller casts)."""
+    if use_swap_dw():
+        return _gemm_swap(x, w)
+    return jnp.einsum(
+        "...c,cf->...f", x, w.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )

@@ -102,16 +102,15 @@ def _merged_gemm(x, *kernels: Array) -> list[Array]:
     ``x`` may be a tuple of column pieces: the product is then the sum of
     per-piece GEMMs over the matching kernel row-slices (exact math, f32
     accumulation across pieces)."""
+    from hl_hgat_tpu.nn.gemm import stack_gemm
+
     pieces = _as_pieces(x)
     dtype = pieces[0].dtype
     w = jnp.concatenate(kernels, axis=1) if len(kernels) > 1 else kernels[0]
     z, row = None, 0
     for p in pieces:
         c = p.shape[-1]
-        zz = jnp.einsum(
-            "...c,cf->...f", p, w[row : row + c].astype(dtype),
-            preferred_element_type=jnp.float32,
-        )
+        zz = stack_gemm(p, w[row : row + c])
         z = zz if z is None else z + zz
         row += c
     z = z.astype(dtype)

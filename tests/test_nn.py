@@ -307,3 +307,58 @@ class TestInceptionAndBlocks:
         assert y_s.shape == (lvl.num_edges, 8 + 2 * 8)
         pad = np.asarray(lvl.node_mask) == 0
         np.testing.assert_allclose(np.asarray(y_t)[pad, 8:], 0.0, atol=1e-6)
+
+
+class TestSwapDwGemm:
+    def test_model_grads_match_default(self, rng):
+        """HLHGAT_SWAP_DW (nn/gemm.py): the swapped-dW stack-GEMM backward
+        must produce the same loss/grads as einsum autodiff at model level
+        (exact math, different association only)."""
+        from hl_hgat_tpu.complex.build import build_complex, collate
+        from hl_hgat_tpu.models.backbone import BackboneConfig, HLHGCNNGraph
+        from hl_hgat_tpu.nn import gemm
+
+        n = 12
+        src = np.arange(n - 1).astype(np.int64)
+        dst = np.arange(1, n).astype(np.int64)
+        extra = rng.integers(0, n, (2, 10))
+        keep = extra[0] != extra[1]
+        ei = np.unique(
+            np.minimum(extra[0], extra[1])[keep] * n
+            + np.maximum(extra[0], extra[1])[keep]
+        )
+        src = np.concatenate([src, ei // n])
+        dst = np.concatenate([dst, ei % n])
+        uniq = np.unique(src * n + dst)
+        ei2 = np.stack([uniq // n, uniq % n])
+        s = build_complex(
+            ei2, n,
+            x_t=rng.standard_normal((n, 5)).astype(np.float32),
+            x_s=rng.standard_normal((ei2.shape[1], 4)).astype(np.float32),
+            y=np.ones(1, np.float32),
+        )
+        batch = jax.tree.map(jnp.asarray, collate([s], multiple=1))
+        model = HLHGCNNGraph(
+            cfg=BackboneConfig(channels=(2,), filters=(8,), k=3, init_k=2),
+            num_classes=1,
+        )
+        variables = model.init(jax.random.key(0), batch, deterministic=True)
+
+        def loss(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                batch, deterministic=False, mutable=["batch_stats"],
+            )
+            return jnp.sum(out ** 2)
+
+        try:
+            gemm.use_swap_dw(False)
+            l0, g0 = jax.value_and_grad(loss)(variables["params"])
+            gemm.use_swap_dw(True)
+            l1, g1 = jax.value_and_grad(loss)(variables["params"])
+        finally:
+            gemm.use_swap_dw(False)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
