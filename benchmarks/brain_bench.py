@@ -9,10 +9,12 @@ level-1 nodes+edges equals the shipped checkpoint's 2815) with synthetic
 per-subject series, and measures the full training step (Inception1D
 embedding, dense-int3 trunk, attention pooling, flatten head, MSE, Adam).
 
-Layout note: the flatten readout needs contiguous per-graph rows, which the
-packed superblock layout reorders away, so this model family runs the flat
-COO path; the brain graph's L0 is 25% dense at 268 rows, far below the
-dense-pack caps anyway.
+Layouts: ``shared`` (default, round 3) uses ``collate_dense_shared`` — ONE
+dense operator per level broadcast over all subjects, so every L/B1
+mat-vec is a single [S, S] @ [S, G·C] MXU GEMM (the FC-dense L1 has no
+block locality, so both COO and banded-spill layouts are scatter-bound on
+this workload — measured 22.9k edges/s COO at batch 8); ``coo`` keeps the
+flat path for comparison.
 
     python benchmarks/brain_bench.py [batch_subjects] [--t 128] [--pool_num 2]
 """
@@ -40,6 +42,7 @@ def main():
     ap.add_argument("batch_subjects", nargs="?", type=int, default=16)
     ap.add_argument("--t", type=int, default=128)
     ap.add_argument("--pool_num", type=int, default=2)
+    ap.add_argument("--layout", choices=["shared", "coo"], default="shared")
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
@@ -53,6 +56,7 @@ def main():
     import optax
 
     from hl_hgat_tpu.complex.build import collate
+    from hl_hgat_tpu.complex.dense import collate_dense_shared
     from hl_hgat_tpu.data.brain import build_real_brain_pyramid
     from hl_hgat_tpu.data.datasets import brain_sample
     from hl_hgat_tpu.models import presets
@@ -70,7 +74,10 @@ def main():
         )
         for _ in range(args.batch_subjects)
     ]
-    batch = jax.tree.map(jnp.asarray, collate(samples, multiple=1))
+    collate_fn = (
+        collate_dense_shared if args.layout == "shared" else collate
+    )
+    batch = jax.tree.map(jnp.asarray, collate_fn(samples, multiple=1))
     build_s = time.time() - t0
     real_edges = args.batch_subjects * src.shape[0]
 
@@ -135,7 +142,7 @@ def main():
         metric="brain_edges_per_sec", value=round(real_edges * sps, 1),
         unit="edges/s", batch_subjects=args.batch_subjects, t=args.t,
         rois=levels[0].num_nodes, skeleton_edges=int(src.shape[0]),
-        pool_num=args.pool_num, real_edges=real_edges,
+        pool_num=args.pool_num, layout=args.layout, real_edges=real_edges,
         steps_per_sec=round(sps, 3), subjects_per_sec=round(
             args.batch_subjects * sps, 2),
         compile_s=round(compile_s, 1), build_s=round(build_s, 1),

@@ -243,6 +243,113 @@ def collate_dense(
 # ---------------------------------------------------------------------------
 
 
+def collate_dense_shared(
+    samples: "list[GraphSample]",
+    *,
+    multiple: int = 8,
+    y_per_edge: bool = False,
+) -> DenseBatch:
+    """Dense layout for SHARED-SKELETON datasets (the brain family): every
+    sample must carry IDENTICAL structure at every level, so the operators
+    are built ONCE with a leading broadcast dim of 1 — ``l0``/``l1``/``b1``
+    are [1, S, S]-shaped and every mat-vec becomes a single
+    [S, S] @ [S, G·C] MXU GEMM over all subjects (ops/dispatch.py ``_bmm``
+    broadcast branch) instead of G scattered SpMMs.
+
+    Motivation (benchmarks/RESULTS.md round 3): the reference brain
+    workload (Brain_MLGC_ALL, HL-HGAT-DEMO/lib/Hodge_Dataset.py:110-145)
+    shares one Shen-268 skeleton across all subjects; its FC-dense L1
+    (~134 nnz/edge) has no block locality (48% of entries fall ≥2 blocks
+    off-diagonal after BFS reorder), so both the COO path (23k edges/s)
+    and the banded-spill path are scatter-bound — while the SHARED dense
+    operator is one 162 MB bf16 matrix read once per mat-vec for the whole
+    batch.
+
+    Features/masks stay per-graph [G, S, *]; pooling matrices are shared
+    [1, S_c, S_f] as well.  Rows keep the samples' original simplex order
+    (no BFS reorder), so flatten-readout heads and checkpoint imports see
+    the reference ordering.
+    """
+    g = len(samples)
+    ref = samples[0]
+    depth = len(ref.levels)
+    for smp in samples[1:]:
+        for lv in range(depth):
+            a, b = ref.levels[lv], smp.levels[lv]
+            if not (np.array_equal(a.src, b.src)
+                    and np.array_equal(a.dst, b.dst)):
+                raise ValueError(
+                    "collate_dense_shared requires identical structure "
+                    f"across samples (level {lv} differs)"
+                )
+
+    def rnd(x: int) -> int:
+        return ((x + multiple - 1) // multiple) * multiple
+
+    levels: list[DenseLevel] = []
+    for lv in range(depth):
+        st = ref.levels[lv]
+        n, e = st.num_nodes, st.num_edges
+        s_pad, e_pad = rnd(n), rnd(e)
+        l0 = np.zeros((1, s_pad, s_pad), np.float32)
+        l1 = np.zeros((1, e_pad, e_pad), np.float32)
+        b1 = np.zeros((1, s_pad, e_pad), np.float32)
+        l0[0, st.l0_rows, st.l0_cols] = st.l0_vals
+        l1[0, st.l1_rows, st.l1_cols] = st.l1_vals
+        b1[0, :n, :e] = boundary_dense(st.src, st.dst, n)
+        nm = np.zeros((g, s_pad), np.float32)
+        em = np.zeros((g, e_pad), np.float32)
+        nm[:, :n] = 1.0
+        em[:, :e] = 1.0
+        deg = np.zeros((g, s_pad), np.float32)
+        np.add.at(deg[0], st.src, 1.0)
+        np.add.at(deg[0], st.dst, 1.0)
+        deg[1:] = deg[0]
+        levels.append(DenseLevel(
+            l0=l0, l1=l1, b1=b1, node_mask=nm, edge_mask=em, deg=deg,
+            num_graphs=g,
+        ))
+
+    pools: list[DensePool] = []
+    for lv in range(depth - 1):
+        sc, ec = rnd(ref.levels[lv + 1].num_nodes), rnd(
+            ref.levels[lv + 1].num_edges)
+        sf, ef = rnd(ref.levels[lv].num_nodes), rnd(ref.levels[lv].num_edges)
+        p_t = np.zeros((1, sc, sf), np.float32)
+        p_s = np.zeros((1, ec, ef), np.float32)
+        c_node, c_edge = ref.pools[lv]
+        cn = np.asarray(c_node).reshape(-1)
+        idx = np.nonzero(cn >= 0)[0]
+        p_t[0, cn[idx], idx] = 1.0
+        ce = np.asarray(c_edge).reshape(-1)
+        idx = np.nonzero(ce >= 0)[0]
+        p_s[0, ce[idx], idx] = 1.0
+        for p in (p_t, p_s):
+            rs = p[0].sum(axis=1, keepdims=True)
+            p[0] = p[0] / np.maximum(rs, 1.0)
+        pools.append(DensePool(p_t=p_t, p_s=p_s))
+
+    n0, e0 = ref.levels[0].num_nodes, ref.levels[0].num_edges
+    s_pad, e_pad = rnd(n0), rnd(e0)
+    x_t = np.zeros((g, s_pad, ref.x_t.shape[1]), np.float32)
+    x_s = np.zeros((g, e_pad, ref.x_s.shape[1]), np.float32)
+    for i, smp in enumerate(samples):
+        x_t[i, :n0] = smp.x_t
+        x_s[i, :e0] = smp.x_s
+    if y_per_edge:
+        y = np.zeros((g, e_pad) + ref.y.shape[1:], np.float32)
+        for i, smp in enumerate(samples):
+            y[i, :e0] = smp.y
+    else:
+        y = np.stack([np.asarray(smp.y, np.float32).reshape(-1)
+                      for smp in samples])
+
+    return DenseBatch(
+        x_t=x_t, x_s=x_s, y=y, levels=tuple(levels), pools=tuple(pools),
+        num_graphs=g,
+    )
+
+
 def pack_graphs(
     samples: list[GraphSample], node_cap: int, edge_cap: int
 ) -> list[list[int]]:

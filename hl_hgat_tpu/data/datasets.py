@@ -192,12 +192,19 @@ def cifar10sp_sample(
     aug: bool = False,
     num_pool: int = 0,
     rng: np.random.Generator | None = None,
+    weighted_mlgc: bool = False,
 ) -> GraphSample:
     """CIFAR10 superpixels, fully on-the-fly (reference CIFAR10SP_EigPE.get(),
     lib/Hodge_Dataset.py:769-804): optional edge dropout, per-sample
     Laplacians + PE, x_t = [rgb, pos, pe], x_s = [dist, |Δx_t|, edge_pe] with
     edge_pe = |pe_src + pe_dst| (script semantics win over the lib's
     difference form — SURVEY.md §7 quirks; reference main_cifar10SP...py:87).
+
+    The pyramid is UNWEIGHTED by default — the training script's dataset
+    calls plain ``MLGC`` with the weighted call commented out
+    (main_cifar10SP...py:106-107; pinned by the cifar_dataset_pe
+    executed-reference fixture); ``weighted_mlgc=True`` restores the lib
+    class's ``MLGC_weighted`` (lib/Hodge_Dataset.py:309) semantics.
     """
     ei, ea = canonical_undirected(edge_index, edge_attr)
     if aug and rng is not None and rng.random() > 0.75:
@@ -225,7 +232,9 @@ def cifar10sp_sample(
         levels=[structure], pools=[],
     )
     if num_pool:
-        weight = np.exp(-x_s[:, 0] ** 2)  # MLGC_weighted (reference :309)
+        weight = (
+            np.exp(-x_s[:, 0] ** 2) if weighted_mlgc else None
+        )  # MLGC_weighted (reference lib :309) vs the script's plain MLGC
         sample.levels, sample.pools = build_pyramid(
             sample.levels, num_pool, weighted_by=weight
         )

@@ -22,9 +22,11 @@ Array = jnp.ndarray
 
 
 def flatten_per_graph(x: Array, num_graphs: int, per_graph: int) -> Array:
-    """[N, 1] → [G, per_graph]; relies on contiguous equal-size layout with
-    padding only at the tail (collate guarantees this for shared-skeleton
-    datasets)."""
+    """[N, 1] (flat) or [G, S, 1] (dense layout) → [G, per_graph]; relies on
+    per-graph-contiguous rows with padding only at the tail (both collates
+    guarantee this for shared-skeleton datasets)."""
+    if x.ndim == 3:
+        return x[:, :per_graph, 0]
     return x[: num_graphs * per_graph].reshape(num_graphs, per_graph)
 
 
@@ -47,14 +49,25 @@ class HLHGCNNAbcd(nn.Module):
         return_atts: bool = False,
     ):
         level0 = batch.level0
-        # x_t rows are raw time courses [N, T]
+        # x_t rows are raw time courses: [N, T] flat, or [G, S, T] dense —
+        # Inception1D expects 2-D rows, so the dense layout flattens the
+        # (graph, simplex) axes around it
+        x_t = batch.x_t
+        dense_shape = x_t.shape[:2] if x_t.ndim == 3 else None
+        if dense_shape is not None:
+            x_t = x_t.reshape(-1, x_t.shape[-1])
+            mask_flat = level0.node_mask.reshape(-1)
+        else:
+            mask_flat = level0.node_mask
         x_t = Inception1D(
             in_channels=self.inception_channels,
             num_channels=self.inception_num_channels,
             if_readout=True,
             name="node_embedding",
-        )(batch.x_t, level0.node_mask, deterministic=deterministic)
-        x_t = x_t * level0.node_mask[:, None]
+        )(x_t, mask_flat, deterministic=deterministic)
+        x_t = x_t * mask_flat[:, None]
+        if dense_shape is not None:
+            x_t = x_t.reshape(dense_shape + (x_t.shape[-1],))
         feats = make_backbone(self.cfg)(
             x_t, batch.x_s, batch, deterministic
         )

@@ -39,11 +39,20 @@ class HLHGATAttpool(nn.Module):
         level0 = batch.level0
         x_t = batch.x_t
         if self.use_inception:
+            # dense layout carries [G, S, T]; Inception1D expects 2-D rows
+            dense_shape = x_t.shape[:2] if x_t.ndim == 3 else None
+            if dense_shape is not None:
+                x_t = x_t.reshape(-1, x_t.shape[-1])
+                mask_flat = level0.node_mask.reshape(-1)
+            else:
+                mask_flat = level0.node_mask
             x_t = Inception1D(
                 if_readout=True, readout_mode="max_mean",
                 name="node_embedding",
-            )(x_t, level0.node_mask, deterministic=deterministic)
-            x_t = x_t * level0.node_mask[:, None]
+            )(x_t, mask_flat, deterministic=deterministic)
+            x_t = x_t * mask_flat[:, None]
+            if dense_shape is not None:
+                x_t = x_t.reshape(dense_shape + (x_t.shape[-1],))
         feats = make_backbone(self.cfg)(
             x_t, batch.x_s, batch, deterministic
         )

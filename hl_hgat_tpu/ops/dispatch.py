@@ -25,6 +25,13 @@ Array = jax.Array
 
 
 def _bmm(a: Array, b: Array) -> Array:
+    if a.shape[0] == 1 and b.shape[0] != 1:
+        # shared-operator layout (collate_dense_shared): ONE [S, S]
+        # operator broadcast over all graphs — XLA lowers this to a single
+        # [S, S] @ [S, G·C] GEMM instead of G small batched matmuls
+        return jnp.einsum(
+            "ij,gj...->gi...", a[0], b, preferred_element_type=jnp.float32
+        ).astype(b.dtype)
     return jnp.einsum(
         "gij,gj...->gi...", a, b, preferred_element_type=jnp.float32
     ).astype(b.dtype)
@@ -167,16 +174,24 @@ def abs_b1_s2t(level, x_s: Array) -> Array:
     return _spill_add(out, level.b1_sp, x_s, absolute=True)
 
 
+def _t2s_mm(b1: Array, x_t: Array) -> Array:
+    """B1ᵀ-style contraction, broadcast-aware for the shared layout."""
+    if b1.shape[0] == 1 and x_t.shape[0] != 1:
+        return jnp.einsum(
+            "se,gsf->gef", b1[0], x_t, preferred_element_type=jnp.float32
+        ).astype(x_t.dtype)
+    return jnp.einsum(
+        "gse,gsf->gef", b1, x_t, preferred_element_type=jnp.float32
+    ).astype(x_t.dtype)
+
+
 def abs_b1_t2s(level, x_t: Array) -> Array:
     """|B1|ᵀ @ x_t (edge sums endpoints)."""
     if isinstance(level, ComplexLevel):
         return B.boundary_abs_t2s(
             x_t, level.src, level.dst, edge_mask=level.edge_mask
         )
-    out = jnp.einsum(
-        "gse,gsf->gef", jnp.abs(level.b1), x_t,
-        preferred_element_type=jnp.float32,
-    ).astype(x_t.dtype)
+    out = _t2s_mm(jnp.abs(level.b1), x_t)
     out = _band_add(out, getattr(level, "b1_bu", None),
                     getattr(level, "b1_bd", None), x_t,
                     transpose=True, absolute=True)
@@ -189,9 +204,7 @@ def b1_t2s(level, x_t: Array) -> Array:
         return B.boundary_t2s(
             x_t, level.src, level.dst, edge_mask=level.edge_mask
         )
-    out = jnp.einsum(
-        "gse,gsf->gef", level.b1, x_t, preferred_element_type=jnp.float32
-    ).astype(x_t.dtype)
+    out = _t2s_mm(level.b1, x_t)
     out = _band_add(out, getattr(level, "b1_bu", None),
                     getattr(level, "b1_bd", None), x_t, transpose=True)
     return _spill_add(out, level.b1_sp, x_t, transpose=True)

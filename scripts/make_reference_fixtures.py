@@ -602,6 +602,159 @@ def fixture_grad_tsp_pyr():
          **_sd(model), **_grads_of(model), **gd64)
 
 
+def fixture_hl_filter():
+    """HL_filter both variants (reference lib/Hodge_Cheb_Conv.py:117-188):
+    ``if_dense`` (MSI → conv pair → dense concat per channel) and the plain
+    sequential variant."""
+    from lib.Hodge_Cheb_Conv import HL_filter
+
+    for name, if_dense in (("hlfilter_dense", True), ("hlfilter_plain", False)):
+        torch.manual_seed(1500 if if_dense else 1501)
+        d = 6
+        gen = torch.Generator().manual_seed(1502)
+        x_t = torch.randn(N, d, generator=gen)
+        x_s = torch.randn(E, d, generator=gen)
+        par_1 = adj2par1(torch.from_numpy(G), N, E)
+        D = degree(torch.from_numpy(G).reshape(-1), num_nodes=N) + 1e-6
+        mod = HL_filter(channels=2, filters=8, K=3, node_dim=d, edge_dim=d,
+                        if_dense=if_dense)
+        _randomize_bn_stats(mod, torch.Generator().manual_seed(1503))
+        mod.eval()
+        with torch.no_grad():
+            out_t, out_s = mod(x_t, OPS["eit"], OPS["ewt"], x_s,
+                               OPS["eis"], OPS["ews"], par_1, D)
+        save(name, x_t=x_t, x_s=x_s, deg=D, edge_index=G,
+             eit=OPS["eit"], ewt=OPS["ewt"], eis=OPS["eis"], ews=OPS["ews"],
+             out_t=out_t, out_s=out_s, **_sd(mod))
+
+
+def fixture_model_zinc_poolint3():
+    """HL_HGCNN_zinc_dense_poolint3_pyr (reference lib/Hodge_ST_Model.py:
+    649-749): convs consume the RAW stacks, one MSI per block AFTER the
+    convs (its output also appended to the stack), degree WITHOUT epsilon
+    (:728)."""
+    torch.manual_seed(1600)
+    node_dim, edge_dim, keig = 5, 3, 4
+    gen = torch.Generator().manual_seed(1601)
+    datas = []
+    for n, extra, seed in [(10, 4, 95), (8, 3, 96), (13, 6, 97)]:
+        ei = make_graph(n, extra, seed)
+        x_t = torch.randn(n, node_dim + keig, generator=gen)
+        x_s = torch.randn(ei.shape[1], edge_dim + keig, generator=gen)
+        datas.append(_pair_from_graph(ei, n, x_t, x_s, torch.zeros(1)))
+    batch = Batch.from_data_list(datas)
+    model = ref_models.HL_HGCNN_zinc_dense_poolint3_pyr(
+        channels=[2, 2], filters=[8, 16], mlp_channels=[8], K=2,
+        node_dim=node_dim, edge_dim=edge_dim, keig=keig,
+    )
+    _randomize_bn_stats(model, gen)
+    model.eval()
+    with torch.no_grad():
+        out = model(batch, device="cpu")
+    save("model_zinc_poolint3", out=out,
+         num_node1=batch.num_node1, num_edge1=batch.num_edge1,
+         **_batch_arrays(batch, ["x_t", "x_s", "edge_index_t",
+                                 "edge_weight_t", "edge_index_s",
+                                 "edge_weight_s", "edge_index"]),
+         **_sd(model))
+
+
+def fixture_cifar_dataset_pe():
+    """The CIFAR training script's OWN dataset class executed end-to-end
+    (main_cifar10SP...py:47-129) on a synthetic superpixel graph — pins the
+    script-PE quirks: edge PE = |pe_src + pe_dst| (:87, vs the lib's
+    difference form), the keig=10-hardcoded eig_pe vs keig=11 constructor
+    (script :205 passes keig+1) whose pad logic appends a ZERO column
+    before the sign flip, the sign-flip layout (ones over features, ±1
+    over the last keig−1 PE columns), and the UNWEIGHTED MLGC pyramid —
+    the script calls plain ``MLGC`` (:107; ``MLGC_weighted`` is commented
+    out there, another script-vs-lib divergence).
+
+    eig_pe is replaced on BOTH sides with this repo's deterministic NumPy
+    eigensolver — the eigh sign/degeneracy ambiguity is orthogonal to the
+    dataset semantics pinned here.  torch.randint is proxied to a fixed
+    bit pattern so the reference's drawn sign vectors are reproducible."""
+    import types
+
+    from lib.Hodge_Dataset import (
+        MLGC_weighted,
+        dense_to_sparse,
+        dropout_edge,
+        to_undirected,
+    )
+    from torch_geometric.data import Dataset
+
+    from hl_hgat_tpu.complex.build import eig_pe as repo_eig_pe
+
+    src_code = open(
+        "/root/reference/main_cifar10SP_HL_HGCNN_dense_int3_attpool.py"
+    ).read()
+    start = src_code.index("class CIFAR10SP_EigPE_MLGC")
+    end = src_code.index("\ndef train(loader):")
+    fixed_bits = [0, 1, 1, 0, 1, 0, 0, 1, 1, 0]
+
+    class _TorchProxy:
+        def __getattr__(self, k):
+            return getattr(torch, k)
+
+        @staticmethod
+        def randint(low, high, size):
+            n = size[0]
+            return torch.tensor((fixed_bits * ((n // 10) + 1))[:n])
+
+    def det_eig_pe(L0, k=10):
+        return torch.from_numpy(
+            np.asarray(repo_eig_pe(np.asarray(L0, np.float64), k=k),
+                       np.float32))
+
+    ns = dict(
+        torch=_TorchProxy(), Dataset=Dataset, to_undirected=to_undirected,
+        dropout_edge=dropout_edge, adj2par1=adj2par1, eig_pe=det_eig_pe,
+        MLGC=MLGC, MLGC_weighted=MLGC_weighted, PairData=PairData,
+        dense_to_sparse=dense_to_sparse,
+    )
+    exec(compile(src_code[start:end], "cifar_script_dataset", "exec"), ns)
+    cls = ns["CIFAR10SP_EigPE_MLGC"]
+
+    # synthetic superpixel graph in GNNBenchmark layout: DIRECTED duplicate
+    # edges with distance attrs, rgb x, 2-D pos
+    gen = torch.Generator().manual_seed(1700)
+    n = 14
+    ei_canon = make_graph(n, 8, seed=99)
+    ei_t = torch.from_numpy(
+        np.concatenate([ei_canon, ei_canon[::-1]], axis=1))
+    ea = torch.rand(ei_canon.shape[1], generator=gen)
+    raw = types.SimpleNamespace(
+        x=torch.rand(n, 3, generator=gen),
+        pos=torch.rand(n, 2, generator=gen),
+        edge_index=ei_t,
+        edge_attr=torch.cat([ea, ea]),
+        y=torch.tensor([3]),
+    )
+    ds = cls.__new__(cls)
+    ds.root = None
+    ds.dataset = [raw]
+    ds.if_aug = False
+    ds.keig = 11  # the script passes keig+1 (main_cifar10SP...py:205)
+    ds.num_pool = 1
+    ds.node_dim = 5
+    ds.edge_dim = 4
+    datas = ds.get(0)
+    d0, d1 = datas[0], datas[1]
+    sign_t = torch.cat([torch.ones(6),
+                        -1 + 2 * _TorchProxy.randint(0, 2, (10,))])
+    sign_s = torch.cat([torch.ones(5),
+                        -1 + 2 * _TorchProxy.randint(0, 2, (10,))])
+    save("cifar_dataset_pe",
+         raw_x=raw.x, raw_pos=raw.pos, raw_edge_index=ei_t,
+         raw_edge_attr=raw.edge_attr, y=raw.y,
+         x_t=d0.x_t, x_s=d0.x_s,
+         edge_index=d0.edge_index,
+         edge_index_t=d0.edge_index_t, edge_weight_t=d0.edge_weight_t,
+         sign_t=sign_t, sign_s=sign_s,
+         c_x_t=d1.x_t, c_x_s=d1.x_s, c_edge_index=d1.edge_index)
+
+
 def fixture_traj_zinc():
     """20+-epoch side-by-side training oracle: the reference model trained
     with the reference scripts' exact optimization semantics — torch Adam
@@ -695,5 +848,8 @@ if __name__ == "__main__":
     fixture_model_abcd_attpool()
     fixture_grad_zinc_pyr()
     fixture_grad_tsp_pyr()
+    fixture_hl_filter()
+    fixture_model_zinc_poolint3()
+    fixture_cifar_dataset_pe()
     fixture_traj_zinc()
     print("reference fixtures complete")

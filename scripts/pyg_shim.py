@@ -120,6 +120,8 @@ def scatter(src, index, dim=0, out=None, dim_size=None, reduce="sum"):
         return scatter_mean(src, index, dim=dim, out=out, dim_size=dim_size)
     if reduce == "max":
         return scatter_max(src, index, dim=dim, out=out, dim_size=dim_size)[0]
+    if reduce == "min":
+        return -scatter_max(-src, index, dim=dim, dim_size=dim_size)[0]
     raise NotImplementedError(reduce)
 
 

@@ -245,3 +245,60 @@ class TestDenseEquivalence:
 
         g = jax.grad(loss)(v["params"])
         assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
+
+
+class TestSharedSkeleton:
+    def test_shared_dense_matches_flat(self, rng):
+        """collate_dense_shared (ONE broadcast operator per level) must
+        reproduce the flat-COO model output on identical shared-skeleton
+        samples — the brain-family fast path (complex/dense.py)."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from hl_hgat_tpu.complex.build import build_structure, collate
+        from hl_hgat_tpu.complex.coarsen import build_pyramid
+        from hl_hgat_tpu.complex.dense import collate_dense_shared
+        from hl_hgat_tpu.data.datasets import brain_sample
+        from hl_hgat_tpu.models.presets import hgat_attpool
+
+        n = 18
+        src = np.arange(n - 1).astype(np.int32)
+        dst = np.arange(1, n).astype(np.int32)
+        extra = rng.integers(0, n, (2, 30))
+        keep = extra[0] != extra[1]
+        uniq = np.unique(
+            np.minimum(extra[0], extra[1])[keep].astype(np.int64) * n
+            + np.maximum(extra[0], extra[1])[keep])
+        src = np.concatenate([src, (uniq // n).astype(np.int32)])
+        dst = np.concatenate([dst, (uniq % n).astype(np.int32)])
+        order = np.argsort(src * n + dst)
+        src, dst = src[order], dst[order]
+        levels, pools = build_pyramid([build_structure(src, dst, n)], 1)
+
+        samples = [
+            brain_sample(rng.standard_normal((n, 12)), src, dst,
+                         levels, pools, y=95.0 + i)
+            for i in range(3)
+        ]
+        flat = jax.tree.map(jnp.asarray, collate(samples, multiple=1))
+        shared = jax.tree.map(
+            jnp.asarray, collate_dense_shared(samples, multiple=1))
+
+        final = levels[-1]
+        model, _ = hgat_attpool(
+            channels=(1, 1), filters=(8, 8), k=2, pool_num=1,
+            mlp_channels=(8,),
+            nodes_per_graph=final.num_nodes,
+            edges_per_graph=final.src.shape[0],
+            fine_nodes_per_graph=n, fine_edges_per_graph=src.shape[0],
+        )
+        variables = model.init(jax.random.key(0), flat, deterministic=True)
+        out_flat = model.apply(variables, flat, deterministic=True)
+        out_shared = model.apply(variables, shared, deterministic=True)
+        for a, b, name in zip(out_flat, out_shared,
+                              ("pred", "latent", "node_att", "edge_att")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+                err_msg=name)
