@@ -58,6 +58,7 @@ def main(argv=None) -> None:
 
     from hl_hgat_tpu.complex.build import build_structure, collate
     from hl_hgat_tpu.complex.coarsen import mlgc
+    from hl_hgat_tpu.complex.dense import collate_dense_shared
     from hl_hgat_tpu.data import brain as brain_data
     from hl_hgat_tpu.data.datasets import brain_sample, fc2mask
     from hl_hgat_tpu.models import presets
@@ -129,7 +130,12 @@ def main(argv=None) -> None:
     n_val = max(args.subjects // 4, 1)
     train_s, val_s = samples[n_val:], samples[:n_val]
 
-    batch0 = collate(train_s[: args.batch_size], multiple=1)
+    # shared-skeleton dense layout: one broadcast operator per level →
+    # single-GEMM mat-vecs over all subjects (259× over flat COO on TPU,
+    # benchmarks/RESULTS.md round 3)
+    collate_fn = lambda ss, multiple=1: collate_dense_shared(  # noqa: E731
+        ss, multiple=multiple)
+    batch0 = collate_fn(train_s[: args.batch_size])
     final = levels[-1]
     n0, e0 = levels[0].num_nodes, levels[0].num_edges
 
@@ -157,7 +163,7 @@ def main(argv=None) -> None:
         # quarter at the default --subjects) still yield one batch
         bs = min(args.batch_size, len(split))
         for i in range(0, len(split) - bs + 1, bs):
-            yield dev(collate(split[i : i + bs], multiple=1))
+            yield dev(collate_fn(split[i : i + bs]))
 
     @jax.jit
     def train_step(params, bstats, opt_state, batch, key):

@@ -143,3 +143,76 @@ def lobe_sorted_matrix(
         sizes=np.asarray(sizes),
         labels=[lobe_names[o] for o in LOBE_ORDER],
     )
+
+
+class BrainLoader:
+    """Subject-batch loader for shared-skeleton brain datasets — the
+    reference's ``Brain_MLGC_ALL`` + ``DataLoader`` pairing
+    (HL-HGAT-DEMO/lib/Hodge_Dataset.py:110-145, OHBM_DEMO.ipynb cell 25).
+
+    Yields ``collate_dense_shared`` batches: per-subject temporal crop
+    augmentation re-rolled every epoch (reference ``ifaug``), Pearson FC at
+    the shared skeleton, z-scored targets.  Static shapes: every batch has
+    the same operators and the same [B, S, *] feature shapes (a fixed
+    ``crop_len`` keeps the time axis static too), so the training step
+    compiles once.
+    """
+
+    def __init__(
+        self,
+        timeseries: "list[np.ndarray]",
+        scores: "list[float] | np.ndarray",
+        levels,
+        pools,
+        batch_size: int,
+        *,
+        crop_len: int | None = None,
+        shuffle: bool = True,
+        seed: int = 0,
+        y_mean: float = 95.1377,
+        y_std: float = 7.3,
+        drop_last: bool = True,
+    ) -> None:
+        from hl_hgat_tpu.complex.build import GraphStructure  # noqa: F401
+
+        assert len(timeseries) == len(scores)
+        self.timeseries = timeseries
+        self.scores = np.asarray(scores, np.float64)
+        self.levels = list(levels)
+        self.pools = list(pools)
+        self.batch_size = batch_size
+        self.crop_len = crop_len
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.y_mean = y_mean
+        self.y_std = y_std
+        self.drop_last = drop_last
+        st = self.levels[0]
+        self.src, self.dst = st.src, st.dst
+
+    def __len__(self) -> int:
+        n = len(self.timeseries)
+        b = self.batch_size
+        return n // b if self.drop_last else (n + b - 1) // b
+
+    def __iter__(self):
+        from hl_hgat_tpu.complex.dense import collate_dense_shared
+        from hl_hgat_tpu.data.datasets import brain_sample
+
+        order = np.arange(len(self.timeseries))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        b = self.batch_size
+        stop = (len(order) - b + 1) if self.drop_last else len(order)
+        for lo in range(0, max(stop, 0), b):
+            idx = order[lo:lo + b]
+            samples = [
+                brain_sample(
+                    self.timeseries[i], self.src, self.dst,
+                    self.levels, self.pools, y=float(self.scores[i]),
+                    crop_len=self.crop_len, rng=self.rng,
+                    y_mean=self.y_mean, y_std=self.y_std,
+                )
+                for i in idx
+            ]
+            yield collate_dense_shared(samples, multiple=1)

@@ -100,18 +100,18 @@ def pepfunc_attpool(
     pool_loc=1,
     script_variant=True,
 ):
-    """10-way multilabel.  Script variant gates the stacks EVERY block and
-    pools at pool_loc (reference main_pepfunc...py:133-149); lib variant
-    gates only at pool_loc (reference lib/Hodge_ST_Model.py:276-290).
-    λ = 0.5 in both (main_pepfunc...py:90: ``NodeEdgeInt(..., l=0.5)``;
-    pinned by the model_pepfunc_attpool reference fixture)."""
+    """10-way multilabel.  Script variant gates the stacks EVERY block with
+    λ=0.5 and pools at pool_loc (reference main_pepfunc...py:90,133-149);
+    lib variant gates only at pool_loc with the default λ=0.9 (reference
+    lib/Hodge_ST_Model.py:225-227).  Both pinned by executed-reference
+    fixtures (model_pepfunc_attpool / model_pepfunc_attpool_lib)."""
     n_blocks = len(channels)
     cfg = BackboneConfig(
         channels=tuple(channels), filters=tuple(filters), k=k, init_k=1,
         act="relu", dropout=dropout, deg_eps=1e-6,
         pool_locs=(pool_loc,),
         att_locs=tuple(range(n_blocks)) if script_variant else (),
-        att_sigma="sigmoid", att_lam=0.5,
+        att_sigma="sigmoid", att_lam=0.5 if script_variant else 0.9,
         gate_input="stack", gate_target="stack",
         stack_concat="layer",  # pooled family: measured faster than "block"
     )

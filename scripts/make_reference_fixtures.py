@@ -456,6 +456,83 @@ def fixture_model_pepfunc_attpool():
     _save_two_level("model_pepfunc_attpool", out, *datas, model)
 
 
+def _single_level_model_fixture(name, model_ctor, node_dim, edge_dim,
+                                keig, seeds, seed0):
+    """Shared harness for the plain (no-pool) pyr families."""
+    torch.manual_seed(seed0)
+    gen = torch.Generator().manual_seed(seed0 + 1)
+    datas = []
+    for n, extra, seed in seeds:
+        ei = make_graph(n, extra, seed)
+        x_t = torch.randn(n, node_dim + keig, generator=gen)
+        x_s = torch.randn(ei.shape[1], edge_dim + keig, generator=gen)
+        datas.append(_pair_from_graph(ei, n, x_t, x_s, torch.zeros(1)))
+    batch = Batch.from_data_list(datas)
+    model = model_ctor()
+    _randomize_bn_stats(model, gen)
+    model.eval()
+    with torch.no_grad():
+        out = model(batch, device="cpu")
+    save(name, out=out,
+         num_node1=batch.num_node1, num_edge1=batch.num_edge1,
+         **_batch_arrays(batch, ["x_t", "x_s", "edge_index_t",
+                                 "edge_weight_t", "edge_index_s",
+                                 "edge_weight_s", "edge_index"]),
+         **_sd(model))
+
+
+def fixture_model_cifar_pyr():
+    """HL_HGCNN_CIFAR10SP_dense_int3_pyr (reference lib/Hodge_ST_Model.py:
+    858-956): plain pyr trunk, init conv K=1, deg+1e-6."""
+    _single_level_model_fixture(
+        "model_cifar_pyr",
+        lambda: ref_models.HL_HGCNN_CIFAR10SP_dense_int3_pyr(
+            channels=[2, 2], filters=[8, 16], mlp_channels=[8], K=2,
+            node_dim=3, edge_dim=2, keig=4, num_classes=10),
+        node_dim=3, edge_dim=2, keig=4,
+        seeds=[(10, 4, 55), (8, 3, 56), (13, 6, 57)], seed0=850)
+
+
+def fixture_model_pepfunc_pyr():
+    """HL_HGCNN_pepfunc_dense_int3_pyr (reference lib/Hodge_ST_Model.py:
+    307-407): plain pyr trunk, init conv K=K."""
+    _single_level_model_fixture(
+        "model_pepfunc_pyr",
+        lambda: ref_models.HL_HGCNN_pepfunc_dense_int3_pyr(
+            channels=[2, 2], filters=[8, 16], mlp_channels=[8], K=2,
+            node_dim=4, edge_dim=2, keig=3, num_classes=10),
+        node_dim=4, edge_dim=2, keig=3,
+        seeds=[(10, 4, 58), (9, 4, 59), (12, 5, 60)], seed0=860)
+
+
+def fixture_model_pepfunc_attpool_lib():
+    """The LIB pepfunc attpool (reference lib/Hodge_ST_Model.py:173-300):
+    gates the STACKS only at pool_loc with the default λ=0.9 sigmoid —
+    the counterpart of the script's att-every-block λ=0.5 variant."""
+    torch.manual_seed(950)
+    node_dim, edge_dim, keig = 4, 2, 3
+    gen = torch.Generator().manual_seed(951)
+    level0, level1 = [], []
+    for n, extra, seed in [(10, 4, 66), (9, 4, 67), (12, 5, 68)]:
+        ei = make_graph(n, extra, seed)
+        x_t = torch.randn(n, node_dim + keig, generator=gen)
+        x_s = torch.randn(ei.shape[1], edge_dim + keig, generator=gen)
+        d0, d1 = _pyramid_pair(ei, n, x_t, x_s, torch.zeros(1), gen)
+        level0.append(d0)
+        level1.append(d1)
+    datas = [Batch.from_data_list(level0), Batch.from_data_list(level1)]
+    model = ref_models.HL_HGCNN_pepfunc_dense_int3_attpool(
+        channels=[2, 2], filters=[8, 16], mlp_channels=[8], K=2,
+        node_dim=node_dim, edge_dim=edge_dim, keig=keig, pool_loc=0,
+        num_classes=10,
+    )
+    _randomize_bn_stats(model, gen)
+    model.eval()
+    with torch.no_grad():
+        out = model(datas, device="cpu")
+    _save_two_level("model_pepfunc_attpool_lib", out, *datas, model)
+
+
 def fixture_model_abcd_attpool():
     """HL_HGCNN_ABCD_dense_int3_attpool (reference lib/Hodge_ST_Model.py:
     26-168): Inception1D(mean-readout) node embedding, sigmoid gates from
@@ -845,6 +922,9 @@ if __name__ == "__main__":
     fixture_model_zinc_attpool()
     fixture_model_cifar_attpool()
     fixture_model_pepfunc_attpool()
+    fixture_model_pepfunc_attpool_lib()
+    fixture_model_cifar_pyr()
+    fixture_model_pepfunc_pyr()
     fixture_model_abcd_attpool()
     fixture_grad_zinc_pyr()
     fixture_grad_tsp_pyr()

@@ -161,3 +161,37 @@ def test_hgat_attpool_real_checkpoint_matches_reference():
     p = sorted_out["perm"]
     np.testing.assert_allclose(
         sorted_out["matrix"], attmap[np.ix_(p, p)])
+
+
+def test_brain_loader_static_shapes():
+    """BrainLoader: shared-skeleton batches with per-epoch crop re-rolls —
+    static shapes across batches and epochs (one compile)."""
+    import numpy as np
+
+    from hl_hgat_tpu.complex.build import build_structure
+    from hl_hgat_tpu.complex.coarsen import build_pyramid
+    from hl_hgat_tpu.data.brain import BrainLoader
+
+    rng = np.random.default_rng(0)
+    n = 12
+    src = np.arange(n - 1).astype(np.int32)
+    dst = np.arange(1, n).astype(np.int32)
+    levels, pools = build_pyramid([build_structure(src, dst, n)], 1)
+    ts = [rng.standard_normal((n, 40 + i)) for i in range(7)]
+    scores = 95 + rng.standard_normal(7)
+    loader = BrainLoader(ts, scores, levels, pools, batch_size=3,
+                         crop_len=32, seed=1)
+    assert len(loader) == 2
+    shapes = set()
+    seen_xt = []
+    for _ in range(2):  # two epochs: crops re-roll, shapes stay fixed
+        for batch in loader:
+            shapes.add((batch.x_t.shape, batch.x_s.shape,
+                        batch.levels[0].l0.shape))
+            seen_xt.append(np.asarray(batch.x_t).copy())
+    assert len(shapes) == 1
+    (xt_shape, xs_shape, l0_shape) = next(iter(shapes))
+    assert xt_shape[2] == 32  # crop_len pins the time axis
+    assert l0_shape[0] == 1  # shared broadcast operator
+    # augmentation actually re-rolls across epochs
+    assert not np.array_equal(seen_xt[0], seen_xt[2])

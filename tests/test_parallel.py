@@ -531,3 +531,57 @@ class TestDataParallelTrainer:
         # the mesh step actually advanced the (replicated) step counter:
         # ceil(20/8)=3 groups per epoch x 3 epochs
         assert int(np.asarray(state.step)) == 9
+
+
+class TestSharedSkeletonDP:
+    def test_dp_shared_matches_single_device(self, mesh8):
+        """Shared-skeleton dense batches (collate_dense_shared, broadcast
+        [1, S, S] operators) through the sharded DP step == single device —
+        the brain-family layout x parallelism product."""
+        from hl_hgat_tpu.complex.build import build_structure
+        from hl_hgat_tpu.complex.coarsen import build_pyramid
+        from hl_hgat_tpu.complex.dense import collate_dense_shared
+        from hl_hgat_tpu.data.datasets import brain_sample
+
+        rng = np.random.default_rng(11)
+        n = 16
+        src = np.arange(n - 1).astype(np.int32)
+        dst = np.arange(1, n).astype(np.int32)
+        extra = rng.integers(0, n, (2, 24))
+        keep = extra[0] != extra[1]
+        uniq = np.unique(
+            np.minimum(extra[0], extra[1])[keep].astype(np.int64) * n
+            + np.maximum(extra[0], extra[1])[keep])
+        src = np.concatenate([src, (uniq // n).astype(np.int32)])
+        dst = np.concatenate([dst, (uniq % n).astype(np.int32)])
+        order = np.argsort(src * n + dst)
+        src, dst = src[order], dst[order]
+        levels, pools = build_pyramid([build_structure(src, dst, n)], 0)
+
+        samples = [
+            brain_sample(rng.standard_normal((n, 8)), src, dst,
+                         levels, pools, y=95.0 + i)
+            for i in range(4)
+        ]
+        batch = collate_dense_shared(samples, multiple=1)
+        # graph-level regression head on the dense layout
+        model = small_model()
+        loss_fn = lambda out, b: l1_loss(out.reshape(-1), b.y.reshape(-1))  # noqa: E731
+        trainer = Trainer(model, TrainerConfig(task="regression", lr=1e-2))
+        state = trainer.init_state(jax.tree.map(jnp.asarray, batch))
+        dp_step = make_dp_train_step(model, trainer.tx, loss_fn, mesh8)
+        sharded = shard_batches(stack_batches([batch] * 8), mesh8)
+        dp_state, dp_loss = dp_step(replicate_state(state, mesh8), sharded)
+
+        local_state, local_loss = trainer._train_step(
+            trainer.init_state(jax.tree.map(jnp.asarray, batch)),
+            jax.tree.map(jnp.asarray, batch),
+        )
+        np.testing.assert_allclose(float(dp_loss), float(local_loss),
+                                   rtol=1e-4)
+        for a, b in zip(
+            jax.tree.leaves(dp_state.params),
+            jax.tree.leaves(local_state.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
