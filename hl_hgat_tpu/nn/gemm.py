@@ -61,11 +61,13 @@ def _gemm_swap_bwd(res, gy):
         preferred_element_type=jnp.float32,
     )  # [F, C] — only this small result is transposed
     dw = dw_t.T.astype(w.dtype)
+    # cotangents must carry the PRIMAL dtypes (x may be bf16 while the
+    # f32-accumulated output's cotangent is f32)
     dx = jax.lax.dot_general(
         g2, w.astype(g2.dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(x.shape).astype(gy.dtype)
+    ).reshape(x.shape).astype(x.dtype)
     return dx, dw
 
 

@@ -362,3 +362,50 @@ class TestSwapDwGemm:
         for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    def test_bf16_packed_grads(self, rng):
+        """The swap backward must hand back cotangents in the PRIMAL dtypes
+        — a bf16 packed model exposes the recurrence transpose (this was a
+        real bug: dx in the f32 cotangent dtype broke lax.div in the
+        Laguerre recurrence's transpose)."""
+        from hl_hgat_tpu.complex.dense import collate_dense_packed
+        from hl_hgat_tpu.data.synthetic import random_simplex_sample
+        from hl_hgat_tpu.models.backbone import BackboneConfig, HLHGCNNGraph
+        from hl_hgat_tpu.nn import gemm
+
+        samples = [random_simplex_sample(rng, n_nodes=12, keig=4)
+                   for _ in range(8)]
+        batch = jax.tree.map(
+            jnp.asarray, collate_dense_packed(samples, node_cap=32,
+                                              edge_cap=40))
+        model = HLHGCNNGraph(
+            cfg=BackboneConfig(channels=(1, 1), filters=(8, 16), k=3,
+                               init_k=3, compute_dtype="bfloat16"),
+            num_classes=1,
+        )
+        variables = model.init(jax.random.key(0), batch, deterministic=True)
+
+        def loss(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                batch, deterministic=False, mutable=["batch_stats"],
+            )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        try:
+            gemm.use_swap_dw(False)
+            l0, g0 = jax.value_and_grad(loss)(variables["params"])
+            gemm.use_swap_dw(True)
+            l1, g1 = jax.value_and_grad(loss)(variables["params"])
+        finally:
+            gemm.use_swap_dw(False)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+        # bf16 tolerance note: custom VJPs must return cotangents in the
+        # PRIMAL dtype, so the swap path rounds dx to bf16 after each
+        # GEMM, while XLA autodiff carries f32 cotangents through the
+        # whole backward — a per-layer rounding delta (~3e-3 abs here),
+        # not an algebraic difference (the f32 test above is tight).
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=5e-2, atol=5e-3)
