@@ -832,51 +832,19 @@ def fixture_cifar_dataset_pe():
          c_x_t=d1.x_t, c_x_s=d1.x_s, c_edge_index=d1.edge_index)
 
 
-def fixture_traj_zinc():
-    """20+-epoch side-by-side training oracle: the reference model trained
-    with the reference scripts' exact optimization semantics — torch Adam
-    (coupled L2, main_zinc...py:209) + ReduceLROnPlateau stepped on the
-    eval-mode validation loss (:210-211,235) — on a fixed synthetic
-    dataset from a saved init.  The parity test replays the SAME data/
-    init/schedule through the JAX stack and demands matching loss + lr
-    trajectories (optimization-level parity, one level above activations).
-
-    patience=3 (vs the script's 10) so the plateau reduction actually
-    fires inside the short run; the state-machine semantics are identical.
-    """
-    torch.manual_seed(1300)
-    node_dim, edge_dim, keig = 5, 3, 4
-    gen = torch.Generator().manual_seed(1301)
-    graphs, ys = [], []
-    sizes = [(10, 4), (8, 3), (13, 6), (9, 4), (11, 5), (12, 4),
-             (10, 5), (8, 4), (14, 6), (9, 3), (11, 4), (10, 3)]
-    for gi, (n, extra) in enumerate(sizes):
-        ei = make_graph(n, extra, seed=1400 + gi)
-        x_t = torch.randn(n, node_dim + keig, generator=gen)
-        x_s = torch.randn(ei.shape[1], edge_dim + keig, generator=gen)
-        y = torch.randn(1, generator=gen)
-        graphs.append(_pair_from_graph(ei, n, x_t, x_s, y))
-        ys.append(y)
-    batch_size, epochs = 4, 40
-    batches = [Batch.from_data_list(graphs[i:i + batch_size])
-               for i in range(0, len(graphs), batch_size)]
-    full = Batch.from_data_list(graphs)
-
-    model = ref_models.HL_HGCNN_zinc_dense_int3_pyr(
-        channels=[2, 2], filters=[8, 16], mlp_channels=[8], K=3,
-        node_dim=node_dim, edge_dim=edge_dim, keig=keig,
-    )
+def _run_reference_training(model, batches, full, y_full, criterion,
+                            epochs, lr):
+    """Reference-script optimization semantics: torch Adam (coupled L2,
+    main_zinc...py:209) + ReduceLROnPlateau on the eval-mode validation
+    loss (:210-211,235).  patience=3 / threshold=1e-3 (vs the script's
+    10 / 1e-4) so the reduction fires inside a short run and the
+    comparison sits above the ~1e-4 f32 eval-noise floor; state-machine
+    semantics unchanged."""
     init_sd = {f"sd/{k}": v.detach().numpy().copy()
                for k, v in model.state_dict().items()}
-    optimizer = torch.optim.Adam(model.parameters(), lr=3e-3, weight_decay=1e-3)
-    # threshold=1e-3 (vs torch's 1e-4 default): the plateau comparison
-    # must sit ABOVE the ~1e-4 f32 eval-noise floor or the lr decisions
-    # become noise-coupled and unreproducible across frameworks; the state
-    # machine semantics are unchanged.
+    optimizer = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=1e-3)
     scheduler = torch.optim.lr_scheduler.ReduceLROnPlateau(
         optimizer, patience=3, factor=0.5, min_lr=1e-6, threshold=1e-3)
-    criterion = torch.nn.L1Loss()
-
     train_losses, valid_losses, lrs = [], [], []
     for _ in range(epochs):
         model.train()
@@ -884,7 +852,9 @@ def fixture_traj_zinc():
         for b in batches:
             optimizer.zero_grad()
             out = model(b, device="cpu")
-            loss = criterion(out.view(-1, 1), b.y.view(-1, 1))
+            if isinstance(out, tuple):
+                out = out[0]
+            loss = criterion(out.view(-1, 1), b._traj_y.view(-1, 1))
             loss.backward()
             optimizer.step()
             g = int(b.num_node1.shape[0])
@@ -894,12 +864,50 @@ def fixture_traj_zinc():
         model.eval()
         with torch.no_grad():
             out = model(full, device="cpu")
-            vloss = float(criterion(out.view(-1, 1), full.y.view(-1, 1)))
+            if isinstance(out, tuple):
+                out = out[0]
+            vloss = float(criterion(out.view(-1, 1), y_full.view(-1, 1)))
         valid_losses.append(vloss)
         scheduler.step(vloss)
         lrs.append(optimizer.param_groups[0]["lr"])
+    return init_sd, train_losses, valid_losses, lrs
 
-    save("traj_zinc", train_losses=np.asarray(train_losses),
+
+def fixture_traj_zinc(seed_base=1300, name="traj_zinc"):
+    """40-epoch side-by-side training oracle for the zinc model (L1 loss);
+    the parity test replays the SAME data/init/schedule through the JAX
+    stack and demands matching loss + lr trajectories (optimization-level
+    parity, one level above activations).  ``seed_base`` variants give the
+    seed-to-seed noise band the verdict asks the JAX-vs-torch gap to sit
+    inside."""
+    torch.manual_seed(seed_base)
+    node_dim, edge_dim, keig = 5, 3, 4
+    gen = torch.Generator().manual_seed(seed_base + 1)
+    graphs = []
+    sizes = [(10, 4), (8, 3), (13, 6), (9, 4), (11, 5), (12, 4),
+             (10, 5), (8, 4), (14, 6), (9, 3), (11, 4), (10, 3)]
+    for gi, (n, extra) in enumerate(sizes):
+        ei = make_graph(n, extra, seed=seed_base + 100 + gi)
+        x_t = torch.randn(n, node_dim + keig, generator=gen)
+        x_s = torch.randn(ei.shape[1], edge_dim + keig, generator=gen)
+        y = torch.randn(1, generator=gen)
+        graphs.append(_pair_from_graph(ei, n, x_t, x_s, y))
+    batch_size, epochs = 4, 40
+    batches = [Batch.from_data_list(graphs[i:i + batch_size])
+               for i in range(0, len(graphs), batch_size)]
+    for b in batches:
+        b._traj_y = b.y
+    full = Batch.from_data_list(graphs)
+    full._traj_y = full.y
+
+    model = ref_models.HL_HGCNN_zinc_dense_int3_pyr(
+        channels=[2, 2], filters=[8, 16], mlp_channels=[8], K=3,
+        node_dim=node_dim, edge_dim=edge_dim, keig=keig,
+    )
+    init_sd, train_losses, valid_losses, lrs = _run_reference_training(
+        model, batches, full, full.y, torch.nn.L1Loss(), epochs, lr=3e-3)
+
+    save(name, train_losses=np.asarray(train_losses),
          valid_losses=np.asarray(valid_losses), lrs=np.asarray(lrs),
          num_node1=full.num_node1, num_edge1=full.num_edge1,
          y=full.y, batch_size=np.asarray(batch_size),
@@ -909,6 +917,52 @@ def fixture_traj_zinc():
          **init_sd,
          **{f"fd/{k}": v.detach().numpy()
             for k, v in model.state_dict().items()})
+
+
+def fixture_traj_tsp():
+    """Training-trajectory oracle for the TSP edge model (FocalLoss ×1e4 +
+    Adam + plateau, main_TSP...py:397) — the second dataset of the
+    verdict's optimization-parity A/B."""
+    from lib.Loss_function import FocalLoss
+
+    torch.manual_seed(2300)
+    gen = torch.Generator().manual_seed(2301)
+    graphs = []
+    sizes = [(12, 8), (9, 5), (11, 7), (10, 6), (13, 8), (9, 6),
+             (12, 6), (10, 5)]
+    for gi, (n, extra) in enumerate(sizes):
+        ei = make_graph(n, extra, seed=2400 + gi)
+        e = ei.shape[1]
+        x_t = torch.rand(n, 2, generator=gen)
+        feat = torch.randn(e, 1, generator=gen)
+        mask = (torch.rand(e, 1, generator=gen) > 0.2).float()
+        d = _pair_from_graph(ei, n, x_t, torch.cat([feat, mask], dim=1),
+                             torch.zeros(e))
+        d.y = (torch.rand(e, generator=gen) > 0.7).float()
+        graphs.append(d)
+    batch_size, epochs = 4, 30
+    batches = [Batch.from_data_list(graphs[i:i + batch_size])
+               for i in range(0, len(graphs), batch_size)]
+    for b in batches:
+        b._traj_y = b.y
+    full = Batch.from_data_list(graphs)
+    full._traj_y = full.y
+
+    model = ref_models.HL_HGCNN_TSP_dense_int3_pyr(
+        channels=[2, 2], filters=[8, 16], mlp_channels=[8], K=2,
+        node_dim=2, edge_dim=1,
+    )
+    init_sd, train_losses, valid_losses, lrs = _run_reference_training(
+        model, batches, full, full.y, FocalLoss(), epochs, lr=1e-3)
+
+    save("traj_tsp", train_losses=np.asarray(train_losses),
+         valid_losses=np.asarray(valid_losses), lrs=np.asarray(lrs),
+         num_node1=full.num_node1, num_edge1=full.num_edge1,
+         y=full.y, batch_size=np.asarray(batch_size),
+         **_batch_arrays(full, ["x_t", "x_s", "edge_index_t",
+                                "edge_weight_t", "edge_index_s",
+                                "edge_weight_s", "edge_index"]),
+         **init_sd)
 
 
 if __name__ == "__main__":
@@ -932,4 +986,6 @@ if __name__ == "__main__":
     fixture_model_zinc_poolint3()
     fixture_cifar_dataset_pe()
     fixture_traj_zinc()
+    fixture_traj_zinc(seed_base=2000, name="traj_zinc_s2")
+    fixture_traj_tsp()
     print("reference fixtures complete")
