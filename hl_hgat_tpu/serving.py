@@ -141,3 +141,62 @@ class Predictor:
         if self.edge_level:
             return outs
         return np.stack(outs)
+
+
+class BrainPredictor:
+    """Inference for the shared-skeleton brain family (HLHGATAttpool /
+    HLHGCNNAbcd): subjects share one structure, so batches ride the
+    shared dense layout (``collate_dense_shared`` — one broadcast operator
+    per level, benchmarks/RESULTS.md round 3) and the models' tuple
+    outputs (pred, latent, node_att, edge_att) are returned per subject.
+
+    This is the production form of OHBM_DEMO.ipynb cells 47-49: load the
+    (imported or trained) checkpoint variables, stream subject time
+    series, get predictions and the attention maps the notebook
+    visualizes.  Short final batches are filler-padded with the first
+    subject and stripped, so outputs align 1:1 with the inputs.
+    """
+
+    def __init__(self, model, variables, levels, pools, *,
+                 batch_size: int = 16):
+        self.model = model
+        self.variables = variables
+        self.levels = list(levels)
+        self.pools = list(pools)
+        self.batch_size = batch_size
+        st = self.levels[0]
+        self.src, self.dst = st.src, st.dst
+
+        def forward(variables, batch):
+            return model.apply(variables, batch, deterministic=True)
+
+        self._forward = jax.jit(forward)
+
+    def __call__(self, timeseries: Sequence[np.ndarray]):
+        """timeseries: [S, T] per subject (equal T for one compile).
+
+        Returns dict(pred [N], latent [N, D], node_att [N, n0],
+        edge_att [N, e0]) in input order.
+        """
+        from hl_hgat_tpu.complex.dense import collate_dense_shared
+        from hl_hgat_tpu.data.datasets import brain_sample
+
+        series = list(timeseries)
+        bs = min(self.batch_size, len(series))
+        fields = {k: [] for k in ("pred", "latent", "node_att", "edge_att")}
+        for lo in range(0, len(series), bs):
+            chunk = series[lo:lo + bs]
+            keep = len(chunk)
+            while len(chunk) < bs:  # filler subjects, stripped below
+                chunk.append(chunk[0])
+            samples = [
+                brain_sample(ts, self.src, self.dst, self.levels,
+                             self.pools, y=0.0, y_mean=0.0, y_std=1.0)
+                for ts in chunk
+            ]
+            batch = jax.tree.map(
+                jnp.asarray, collate_dense_shared(samples, multiple=1))
+            out = self._forward(self.variables, batch)
+            for k, v in zip(fields, out):
+                fields[k].append(np.asarray(v)[:keep])
+        return {k: np.concatenate(v, axis=0) for k, v in fields.items()}

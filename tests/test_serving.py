@@ -97,3 +97,69 @@ class TestPredictor:
         for s, o in zip(samples, outs):
             assert o.shape[0] == s.num_edges
             assert np.isfinite(o).all()
+
+
+def test_brain_predictor_real_checkpoint():
+    """BrainPredictor over the REAL structure + REAL imported checkpoint:
+    predictions and attention maps match the direct model forward, in
+    input order, across short final batches."""
+    import os
+
+    import jax
+    import numpy as np
+
+    if not os.path.isdir("/root/reference/HL-HGAT-DEMO/data"):
+        import pytest
+
+        pytest.skip("real brain data unavailable")
+
+    from hl_hgat_tpu.data.brain import build_real_brain_pyramid
+    from hl_hgat_tpu.models.presets import hgat_attpool
+    from hl_hgat_tpu.serving import BrainPredictor
+    from hl_hgat_tpu.utils.torch_import import (
+        import_hgat_attpool,
+        load_torch_state_dict,
+    )
+
+    levels, pools, _ = build_real_brain_pyramid(pool_num=2)
+    n0, e0 = levels[0].num_nodes, levels[0].src.shape[0]
+    n1, e1 = levels[1].num_nodes, levels[1].src.shape[0]
+    model, _meta = hgat_attpool(
+        pool_num=1, mlp_channels=(),
+        nodes_per_graph=n1, edges_per_graph=e1,
+        fine_nodes_per_graph=n0, fine_edges_per_graph=e0,
+        demo_conv_compat=True,
+    )
+    rng = np.random.default_rng(0)
+    series = [rng.standard_normal((n0, 48)) for _ in range(3)]
+
+    from hl_hgat_tpu.complex.dense import collate_dense_shared
+    from hl_hgat_tpu.data.datasets import brain_sample
+    import jax.numpy as jnp
+
+    probe = jax.tree.map(jnp.asarray, collate_dense_shared(
+        [brain_sample(series[0], levels[0].src, levels[0].dst, levels,
+                      pools, y=0.0, y_mean=0.0, y_std=1.0)] * 2,
+        multiple=1))
+    variables = model.init(jax.random.key(0), probe, deterministic=True)
+    sd = load_torch_state_dict(
+        "/root/reference/HL-HGAT-DEMO/weights/HL_HGAT_Brain.pt")
+    variables, _ = import_hgat_attpool(variables, sd)
+
+    pred = BrainPredictor(model, variables, levels, pools, batch_size=2)
+    out = pred(series)  # 3 subjects through batch_size 2 → filler strip
+    assert out["pred"].shape[0] == 3
+    assert out["node_att"].shape == (3, n0)
+    assert out["edge_att"].shape == (3, e0)
+    # matches the direct forward on the same subjects
+    direct = model.apply(
+        variables,
+        jax.tree.map(jnp.asarray, collate_dense_shared(
+            [brain_sample(ts, levels[0].src, levels[0].dst, levels, pools,
+                          y=0.0, y_mean=0.0, y_std=1.0) for ts in series[:2]],
+            multiple=1)),
+        deterministic=True)
+    np.testing.assert_allclose(out["pred"][:2], np.asarray(direct[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        out["edge_att"][:2], np.asarray(direct[3]), rtol=1e-5, atol=1e-6)
