@@ -302,3 +302,25 @@ class TestSharedSkeleton:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
                 err_msg=name)
+
+    def test_shared_requires_identical_structure(self, rng):
+        import pytest as _pytest
+
+        from hl_hgat_tpu.complex.build import build_structure
+        from hl_hgat_tpu.complex.coarsen import build_pyramid
+        from hl_hgat_tpu.complex.dense import collate_dense_shared
+        from hl_hgat_tpu.data.datasets import brain_sample
+
+        def chain(n):
+            src = np.arange(n - 1).astype(np.int32)
+            dst = np.arange(1, n).astype(np.int32)
+            return build_pyramid([build_structure(src, dst, n)], 0)
+
+        la, pa = chain(10)
+        lb, pb = chain(11)
+        sa = brain_sample(rng.standard_normal((10, 8)),
+                          la[0].src, la[0].dst, la, pa, y=95.0)
+        sb = brain_sample(rng.standard_normal((11, 8)),
+                          lb[0].src, lb[0].dst, lb, pb, y=95.0)
+        with _pytest.raises(ValueError, match="identical structure"):
+            collate_dense_shared([sa, sb])
