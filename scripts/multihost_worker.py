@@ -190,7 +190,35 @@ def main() -> None:
     )
     assert np.allclose(losses, losses[0]), losses
 
-    print(f"MULTIHOST_OK pid={pid} psum=4.0 halo=ok dp_loss={loss:.5f}",
+    # --- shared-skeleton (brain-family) DP step across the process
+    # boundary: broadcast [1, S, S] operators, per-subject features ---
+    from hl_hgat_tpu.complex.build import build_structure
+    from hl_hgat_tpu.complex.coarsen import build_pyramid
+    from hl_hgat_tpu.complex.dense import collate_dense_shared
+    from hl_hgat_tpu.data.datasets import brain_sample
+
+    nsh = 12
+    sh_src = np.arange(nsh - 1).astype(np.int32)
+    sh_dst = np.arange(1, nsh).astype(np.int32)
+    sh_levels, sh_pools = build_pyramid(
+        [build_structure(sh_src, sh_dst, nsh)], 0)
+    sh_batches = [
+        collate_dense_shared(
+            [brain_sample(rng.standard_normal((nsh, 8)), sh_src, sh_dst,
+                          sh_levels, sh_pools, y=95.0 + g + i)
+             for i in range(2)],
+            multiple=1,
+        )
+        for g in range(4)
+    ]
+    sh_global = jax.tree.map(put_data, stack_batches(sh_batches))
+    sh_state = jax.tree.map(replicate, trainer.init_state(sh_batches[0]))
+    sh_state, sh_loss = step(sh_state, sh_global)
+    sh_loss = float(np.asarray(sh_loss))
+    assert np.isfinite(sh_loss), sh_loss
+
+    print(f"MULTIHOST_OK pid={pid} psum=4.0 halo=ok dp_loss={loss:.5f} "
+          f"shared_loss={sh_loss:.5f}",
           flush=True)
 
 
