@@ -5,7 +5,7 @@ the tunnel, decode them with benchmarks/xplane/parse_trace.py (the protoc-
 compiled xplane schema — TF's own protos are absent here) to get the
 op-level time breakdown behind the roofline verdict in RESULTS.md.
 
-    python benchmarks/profile_probe.py [flagship|tsp] [scan_steps]
+    python benchmarks/profile_probe.py [flagship|tsp|brain] [scan_steps]
 
 Falls back gracefully if the backend doesn't support remote tracing.
 """
@@ -56,6 +56,68 @@ def make_step(which: str, scan_steps: int):
             model, cfg=_dc.replace(model.cfg, compute_dtype="bfloat16")
         )
         tr = Trainer(model, TrainerConfig(task="edge_binary", lr=1e-3))
+    elif which == "brain":
+        # the shared-skeleton brain step (benchmarks/brain_bench.py recipe)
+        from hl_hgat_tpu.complex.dense import collate_dense_shared
+        from hl_hgat_tpu.data.brain import build_real_brain_pyramid
+        from hl_hgat_tpu.data.datasets import brain_sample
+
+        levels, pools, _w = build_real_brain_pyramid(pool_num=2)
+        rng = np.random.default_rng(0)
+        samples = [
+            brain_sample(rng.standard_normal((levels[0].num_nodes, 128)),
+                         levels[0].src, levels[0].dst, levels, pools,
+                         y=95.1377 + 7.3 * rng.standard_normal())
+            for _ in range(16)
+        ]
+        batch = collate_dense_shared(samples, multiple=1)
+        final = levels[2]
+        model, _ = presets.hgat_attpool(
+            pool_num=2, mlp_channels=(64,),
+            nodes_per_graph=final.num_nodes,
+            edges_per_graph=final.src.shape[0],
+            fine_nodes_per_graph=levels[0].num_nodes,
+            fine_edges_per_graph=levels[0].src.shape[0],
+        )
+        model = _dc.replace(
+            model, cfg=_dc.replace(model.cfg, compute_dtype="bfloat16")
+        )
+        # the hgat model returns a tuple; wrap a bare MSE step
+        import optax
+
+        from hl_hgat_tpu.train.optim import adam_l2
+
+        variables = model.init({"params": jax.random.key(0)},
+                               jax.tree.map(jnp.asarray, batch),
+                               deterministic=True)
+        params, bstats = variables["params"], variables.get(
+            "batch_stats", {})
+        tx = adam_l2(1e-3)
+        opt_state = tx.init(params)
+        batch = jax.tree.map(jnp.asarray, batch)
+
+        def multi_step(carry, batch):
+            def body(c, _):
+                params, bstats, opt_state = c
+
+                def loss_fn(p):
+                    (pred, *_), mut = model.apply(
+                        {"params": p, "batch_stats": bstats}, batch,
+                        deterministic=False, mutable=["batch_stats"],
+                    )
+                    return jnp.mean(
+                        (pred.reshape(-1) - batch.y.reshape(-1)) ** 2), mut
+
+                (loss, mut), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, mut["batch_stats"], opt_state), loss
+
+            return jax.lax.scan(body, carry, None, length=scan_steps)
+
+        return (jax.jit(multi_step, donate_argnums=(0,)),
+                (params, bstats, opt_state), batch)
     else:
         raise SystemExit(f"unknown target {which}")
     batch = jax.tree.map(jnp.asarray, batch)

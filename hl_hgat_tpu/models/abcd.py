@@ -63,6 +63,7 @@ class HLHGCNNAbcd(nn.Module):
             in_channels=self.inception_channels,
             num_channels=self.inception_num_channels,
             if_readout=True,
+            compute_dtype=self.cfg.compute_dtype,
             name="node_embedding",
         )(x_t, mask_flat, deterministic=deterministic)
         x_t = x_t * mask_flat[:, None]

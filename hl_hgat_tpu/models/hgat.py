@@ -48,6 +48,7 @@ class HLHGATAttpool(nn.Module):
                 mask_flat = level0.node_mask
             x_t = Inception1D(
                 if_readout=True, readout_mode="max_mean",
+                compute_dtype=self.cfg.compute_dtype,
                 name="node_embedding",
             )(x_t, mask_flat, deterministic=deterministic)
             x_t = x_t * mask_flat[:, None]

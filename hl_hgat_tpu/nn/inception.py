@@ -31,6 +31,11 @@ class Inception1D(nn.Module):
     leaky_slope: float = 0.1
     if_readout: bool = False
     readout_mode: str = "mean"  # "mean" (main lib) | "max_mean" (DEMO)
+    # computation dtype for the Conv1d stack ("bfloat16" halves the large
+    # [N, T, C] intermediate traffic — the round-3 brain trace showed the
+    # f32 stem/stage tensors among the top HBM movers); params stay f32,
+    # BN statistics are computed in f32 regardless
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -42,11 +47,14 @@ class Inception1D(nn.Module):
     ) -> Array:
         """x: [N, T] raw time series; mask: [N] simplex validity."""
         c = self.in_channels
-        x = x[:, :, None]  # [N, T, 1]
-        x = nn.Conv(c, (5,), padding="SAME", name="embedding")(x)
-        x1 = nn.Conv(c // 4, (1,), padding="SAME", name="channel1_1")(x)
-        x2 = nn.Conv(c // 2, (3,), padding="SAME", name="channel2_1")(x)
-        x3 = nn.Conv(c // 4, (5,), padding="SAME", name="channel3_1")(x)
+        dt = jnp.dtype(self.compute_dtype)
+        x = x.astype(dt)[:, :, None]  # [N, T, 1]
+        conv = lambda f, k, name: nn.Conv(  # noqa: E731
+            f, (k,), padding="SAME", dtype=dt, name=name)
+        x = conv(c, 5, "embedding")(x)
+        x1 = conv(c // 4, 1, "channel1_1")(x)
+        x2 = conv(c // 2, 3, "channel2_1")(x)
+        x3 = conv(c // 4, 5, "channel3_1")(x)
         x = jnp.concatenate([x1, x2, x3], axis=-1)
         x = MaskedBatchNorm(c, name="bn1")(x, mask, use_running_average=deterministic)
         x = nn.leaky_relu(x, self.leaky_slope)
@@ -55,9 +63,9 @@ class Inception1D(nn.Module):
             x, window_shape=(k,), strides=(k - 1,), padding=[((k - 1) // 2,) * 2]
         )
         nc = self.num_channels
-        x1 = nn.Conv(nc, (1,), padding="SAME", name="channel1_2")(x)
-        x2 = nn.Conv(nc * 2, (3,), padding="SAME", name="channel2_2")(x)
-        x3 = nn.Conv(nc, (5,), padding="SAME", name="channel3_2")(x)
+        x1 = conv(nc, 1, "channel1_2")(x)
+        x2 = conv(nc * 2, 3, "channel2_2")(x)
+        x3 = conv(nc, 5, "channel3_2")(x)
         x = jnp.concatenate([x1, x2, x3], axis=-1)
         x = MaskedBatchNorm(nc * 4, name="bn2")(
             x, mask, use_running_average=deterministic
