@@ -679,6 +679,45 @@ def fixture_grad_tsp_pyr():
          **_sd(model), **_grads_of(model), **gd64)
 
 
+def fixture_grad_zinc_attpool():
+    """Train-mode L1 gradients of the zinc ATTPOOL model — pins the
+    structural-pooling backward (scatter-mean + gate-the-last quirk,
+    reference lib/Hodge_ST_Model.py:412-541) that the pyr/tsp grad
+    fixtures do not reach."""
+    torch.manual_seed(1250)
+    node_dim, edge_dim, keig = 5, 3, 4
+    gen = torch.Generator().manual_seed(1251)
+    level0, level1 = [], []
+    for n, extra, seed in [(10, 4, 86), (8, 3, 87), (13, 6, 88)]:
+        ei = make_graph(n, extra, seed)
+        x_t = torch.randn(n, node_dim + keig, generator=gen)
+        x_s = torch.randn(ei.shape[1], edge_dim + keig, generator=gen)
+        d0, d1 = _pyramid_pair(ei, n, x_t, x_s, torch.zeros(1), gen)
+        level0.append(d0)
+        level1.append(d1)
+    datas = [Batch.from_data_list(level0), Batch.from_data_list(level1)]
+    y = torch.randn(3, 1, generator=gen)
+    model = ref_models.HL_HGCNN_zinc_dense_int3_attpool(
+        channels=[2, 2], filters=[8, 16], mlp_channels=[], K=2,
+        node_dim=node_dim, edge_dim=edge_dim, keig=keig, pool_loc=0,
+    )
+    _randomize_bn_stats(model, gen)
+    model.train()
+    out = model(datas, device="cpu")
+    loss = torch.nn.L1Loss()(out.view(-1, 1), y)
+    loss.backward()
+    b0, b1 = datas
+    save("grad_zinc_attpool", out=out.detach(), y=y, loss=loss.detach(),
+         num_node1=b0.num_node1, num_edge1=b0.num_edge1,
+         num_node1_c=b1.num_node1, num_edge1_c=b1.num_edge1,
+         **_batch_arrays(b0, ["x_t", "x_s", "edge_index_t", "edge_weight_t",
+                              "edge_index_s", "edge_weight_s", "edge_index"]),
+         **{f"in_c/{k}": getattr(b1, k)
+            for k in ["x_t", "x_s", "edge_index_t", "edge_weight_t",
+                      "edge_index_s", "edge_weight_s", "edge_index"]},
+         **_sd(model), **_grads_of(model))
+
+
 def fixture_hl_filter():
     """HL_filter both variants (reference lib/Hodge_Cheb_Conv.py:117-188):
     ``if_dense`` (MSI → conv pair → dense concat per channel) and the plain
@@ -982,6 +1021,7 @@ if __name__ == "__main__":
     fixture_model_abcd_attpool()
     fixture_grad_zinc_pyr()
     fixture_grad_tsp_pyr()
+    fixture_grad_zinc_attpool()
     fixture_hl_filter()
     fixture_model_zinc_poolint3()
     fixture_cifar_dataset_pe()
