@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--t", type=int, default=128)
     ap.add_argument("--pool_num", type=int, default=2)
     ap.add_argument("--layout", choices=["shared", "coo"], default="shared")
+    ap.add_argument("--infer", action="store_true",
+                    help="forward-only (serving) throughput instead of the "
+                         "training step")
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
@@ -97,6 +100,48 @@ def main():
     params, bstats = variables["params"], variables.get("batch_stats", {})
     tx = adam_l2(1e-3)
     opt_state = tx.init(params)
+
+    if args.infer:
+        # forward-only scan; feed the prediction back into a dummy carry so
+        # XLA cannot hoist the body (the scan-hoisting trap, RESULTS.md)
+        @jax.jit
+        def multi_infer(params, bstats, batch, seed_row):
+            def step(carry, _):
+                b2 = batch.replace(
+                    x_t=batch.x_t.at[0, 0, 0].add(carry * 0.0))
+                pred, *_ = model.apply(
+                    {"params": params, "batch_stats": bstats}, b2,
+                    deterministic=True)
+                return pred.reshape(-1)[0], pred.reshape(-1)[0]
+
+            _, outs = jax.lax.scan(step, seed_row, None, length=STEPS)
+            return outs
+
+        def sync(x):
+            return float(np.asarray(x)[-1])
+
+        seed_row = jnp.zeros((), jnp.float32)
+        t0 = time.time()
+        outs = multi_infer(params, bstats, batch, seed_row)
+        sync(outs)
+        compile_s = time.time() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            outs = multi_infer(params, bstats, batch, seed_row)
+            sync(outs)
+            times.append(time.time() - t0)
+        sps = STEPS / min(times)
+        print(json.dumps(dict(
+            metric="brain_infer_edges_per_sec",
+            value=round(real_edges * sps, 1), unit="edges/s",
+            batch_subjects=args.batch_subjects, t=args.t,
+            layout=args.layout, subjects_per_sec=round(
+                args.batch_subjects * sps, 2),
+            steps_per_sec=round(sps, 3), compile_s=round(compile_s, 1),
+            backend=jax.default_backend(),
+        )), flush=True)
+        return
 
     @jax.jit
     def multi(params, bstats, opt_state, batch):
