@@ -282,6 +282,22 @@ def collate_dense_shared(
                     "collate_dense_shared requires identical structure "
                     f"across samples (level {lv} differs)"
                 )
+            # operators are taken from samples[0]; topologically identical
+            # samples with different Laplacian WEIGHTS would otherwise
+            # batch silently under the wrong operators
+            if not (np.array_equal(a.l0_vals, b.l0_vals)
+                    and np.array_equal(a.l1_vals, b.l1_vals)):
+                raise ValueError(
+                    "collate_dense_shared requires identical operator "
+                    f"values across samples (level {lv} L0/L1 differ)"
+                )
+        for lv, (pa, pb) in enumerate(zip(ref.pools, smp.pools)):
+            if not (np.array_equal(pa[0], pb[0])
+                    and np.array_equal(pa[1], pb[1])):
+                raise ValueError(
+                    "collate_dense_shared requires identical pooling "
+                    f"assignments across samples (pool {lv} differs)"
+                )
 
     def rnd(x: int) -> int:
         return ((x + multiple - 1) // multiple) * multiple

@@ -268,6 +268,11 @@ def fc2mask(
     if mode == 1:
         pos = mean_fc[mean_fc > 0]
         k = int(percent * n * n)
+        if k < 1:
+            # the reference's topk(k=0) raises on v[-1]; a silent [-0] index
+            # here would take the SMALLEST positive value and select nearly
+            # every entry — match the reference's failure mode instead
+            raise ValueError(f"fc2mask: percent={percent} yields k=0")
         thresh = np.sort(pos)[-k]
         mask = (mean_fc > thresh).astype(np.float64)
     elif mode == 2:
@@ -276,11 +281,15 @@ def fc2mask(
             cv = std_fc / mean_fc
         pos = cv[cv > 0]
         k = int(percent * n * n)
+        if k < 1:
+            raise ValueError(f"fc2mask: percent={percent} yields k=0")
         thresh = np.sort(pos)[k - 1]
         mask = (cv < thresh).astype(np.float64)
     elif mode == 3:
         mask = np.zeros_like(mean_fc, dtype=np.float64)
         k = int(n * percent)
+        if k < 1:
+            raise ValueError(f"fc2mask: percent={percent} yields k=0")
         for r in range(n):
             row = mean_fc[r]
             idx = np.argsort(-row, kind="stable")[:k]

@@ -14,7 +14,11 @@ orientation and transposing only the small [F, C] result — and expresses
 F ∈ {128, 1024} and beats it ~18% at C=320/F=256 (where einsum autodiff
 also hit a 92 s autotuner stall); never slower, and compiles 2-4× faster.
 Exact math: same contractions, f32 accumulation, different association
-only.
+only — in float32.  Under ``compute_dtype=bfloat16`` the custom VJP must
+round dx to bf16 after every layer (custom_vjp cotangents carry the primal
+dtype) where einsum autodiff keeps f32 cotangents end-to-end, so grads
+differ by ~3e-3 per layer (tests/test_nn.py); that numerics delta, not
+speed, is why the default stays OFF.
 """
 
 from __future__ import annotations

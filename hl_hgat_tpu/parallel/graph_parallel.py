@@ -2,10 +2,12 @@
 
 For complexes too big for one device (brain FC graphs, dense TSP edge sets),
 nodes/edges are partitioned into row shards of L0/L1; each device computes
-its owned rows.  Round-1 communication strategy: all-gather the sharded
-feature block over the ``graph`` axis, then local SpMM on owned rows — one
-XLA all-gather per polynomial step riding ICI.  (The halo-exchange/ppermute
-overlap refinement is the planned upgrade; SURVEY.md §7 hard-part 5.)
+its owned rows.  Two communication strategies are implemented: all-gather
+the sharded feature block over the ``graph`` axis then local SpMM on owned
+rows (one XLA all-gather per polynomial step riding ICI), and the
+halo-exchange path (``HaloShard``/``halo_spmm`` below: each shard ppermutes
+only boundary rows to its neighbours — SURVEY.md §7 hard-part 5), equality-
+tested against each other and run in the driver dryrun.
 
 Host-side ``partition_complex`` builds the shard layout: balanced contiguous
 node blocks (callers can pre-permute by BFS/METIS order for locality), column

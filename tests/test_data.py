@@ -128,6 +128,18 @@ class TestBrain:
             assert np.tril(m).sum() == 0  # strictly upper triangular
             assert m.sum() > 0
 
+    def test_fc2mask_rejects_k_zero(self, rng):
+        """percent small enough that k=0 must raise (the reference's
+        topk(0) raises on v[-1]; a silent [-0] index would return a
+        near-full mask)."""
+        import pytest as _pytest
+
+        fcs = rng.standard_normal((4, 8, 8))
+        fcs = (fcs + fcs.transpose(0, 2, 1)) / 2
+        for mode in (1, 2, 3):
+            with _pytest.raises(ValueError, match="k=0"):
+                fc2mask(fcs, 0.001, mode)
+
     def test_brain_sample_fc(self, rng):
         from hl_hgat_tpu.complex.build import build_structure
         from hl_hgat_tpu.complex.coarsen import build_pyramid

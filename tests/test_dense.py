@@ -324,3 +324,25 @@ class TestSharedSkeleton:
                           lb[0].src, lb[0].dst, lb, pb, y=95.0)
         with _pytest.raises(ValueError, match="identical structure"):
             collate_dense_shared([sa, sb])
+
+    def test_shared_requires_identical_operator_values(self, rng):
+        """Topologically identical samples with different Laplacian weights
+        must be rejected — operators are taken from samples[0]."""
+        import copy
+
+        import pytest as _pytest
+
+        from hl_hgat_tpu.complex.build import build_structure
+        from hl_hgat_tpu.complex.coarsen import build_pyramid
+        from hl_hgat_tpu.complex.dense import collate_dense_shared
+        from hl_hgat_tpu.data.datasets import brain_sample
+
+        src = np.arange(9).astype(np.int32)
+        dst = np.arange(1, 10).astype(np.int32)
+        levels, pools = build_pyramid([build_structure(src, dst, 10)], 0)
+        sa = brain_sample(rng.standard_normal((10, 8)),
+                          src, dst, levels, pools, y=95.0)
+        sb = copy.deepcopy(sa)
+        sb.levels[0].l1_vals = sb.levels[0].l1_vals * 1.5
+        with _pytest.raises(ValueError, match="operator values"):
+            collate_dense_shared([sa, sb])
