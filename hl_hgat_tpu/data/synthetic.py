@@ -157,3 +157,35 @@ def synthetic_brain_batch(
     batch = collate(samples, multiple=1)
     final = samples[0].levels[-1]
     return batch, final.num_nodes, final.num_edges
+
+
+def synthetic_fmri_series(
+    rng: np.random.Generator,
+    n_subjects: int,
+    n_rois: int,
+    t_len: int,
+    *,
+    k_latent: int = 4,
+    y_mean: float = 95.1377,
+    y_std: float = 7.3,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Learnable synthetic fMRI: latent network signal + noise, with the IQ
+    score correlated with the strength of one latent component — the
+    smoke-mode stand-in for the reference's DEMO_DATA.mat subject series
+    (LFS-missing upstream; reference HL-HGAT-DEMO/OHBM_DEMO.ipynb cell 16
+    describes the real format).  Score constants mirror the reference's
+    z-scoring (HL-HGAT-DEMO/lib/Hodge_Dataset.py:140).
+
+    Returns (timeseries [N, R, T], scores [N])."""
+    mixing = rng.standard_normal((n_rois, k_latent))
+    ts_all = np.empty((n_subjects, n_rois, t_len))
+    scores = np.empty(n_subjects)
+    for s in range(n_subjects):
+        strength = rng.uniform(0.5, 2.0)
+        lat = rng.standard_normal((k_latent, t_len))
+        lat[0] *= strength
+        ts_all[s] = mixing @ lat + 0.5 * rng.standard_normal(
+            (n_rois, t_len)
+        )
+        scores[s] = y_mean + y_std * (strength - 1.25)
+    return ts_all, scores

@@ -21,7 +21,7 @@ import numpy as np
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--benchmark", default="zinc",
-                   choices=["zinc", "pepfunc", "tsp", "cifar10sp"])
+                   choices=["zinc", "pepfunc", "tsp", "cifar10sp", "brain"])
     p.add_argument("--c1", type=int, default=2)
     p.add_argument("--c2", type=int, default=3)
     p.add_argument("--c3", type=int, default=3)
@@ -67,9 +67,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--n_synthetic", type=int, default=512)
     p.add_argument("--save_dir", default="./weights")
-    p.add_argument("--layout", default="coo", choices=["coo", "packed"],
-                   help="batch layout: coo (general) or packed dense "
-                        "superblocks (MXU fast path, pyramids included)")
+    p.add_argument("--layout", default="auto",
+                   choices=["auto", "coo", "packed"],
+                   help="batch layout: auto (default — packed dense "
+                        "superblocks wherever every graph fits the pack "
+                        "caps, i.e. the measured 1.9M-edges/s recipe from "
+                        "benchmarks/RESULTS.md; falls back to coo "
+                        "otherwise), coo (general fallback, ~16x slower), "
+                        "or packed (force the MXU fast path)")
     p.add_argument("--pack_cap", type=int, default=128,
                    help="node/edge capacity of one packed superblock")
     p.add_argument("--edge_cap", type=int, default=0,
@@ -102,7 +107,46 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--fused", type=int, default=0,
                    help="route dense-layout Laguerre convs through the "
                         "fused Pallas kernel (benchmarks/RESULTS.md)")
+    # brain benchmark only (the OHBM workflow, reference
+    # HL-HGAT-DEMO/OHBM_DEMO.ipynb cells 36-43)
+    p.add_argument("--pool_num", type=int, default=2,
+                   help="brain: MLGC_Weight pooling levels (notebook: 2)")
+    p.add_argument("--t", type=int, default=128,
+                   help="brain: synthetic fMRI series length")
+    p.add_argument("--crop_len", type=int, default=0,
+                   help="brain: temporal crop augmentation length "
+                        "(reference ifaug random crop; 0 = full series, "
+                        "no crop)")
+    p.add_argument("--rois", type=int, default=0,
+                   help="brain: 0 = auto (the REAL Shen-268 skeleton + "
+                        "MLGC_Weight pyramid from the reference's shipped "
+                        "Group_FC/FCMask data when present, else 32 "
+                        "synthetic ROIs); N>0 forces an N-ROI synthetic "
+                        "skeleton")
     return p
+
+
+# flags a `--benchmark brain` run re-defaults to the benched recipe
+# (benchmarks/RESULTS.md round 3: shared-skeleton layout + bf16 Inception,
+# 6.48M edges/s at batch 16) and the notebook's hyperparameters
+# (OHBM_DEMO.ipynb cell 40: lr=l2=1e-4; cell 36 model widths) — explicit
+# command-line values always win
+BRAIN_DEFAULTS = dict(
+    c2=2, c3=2, K=4, batch_size=16, dtype="bfloat16",
+    lr=1e-4, l2=1e-4, mlp_channels=1, stack_concat="layer",
+)
+
+
+def apply_brain_defaults(args, argv) -> None:
+    import sys as _sys
+
+    passed = set()
+    for a in (argv if argv is not None else _sys.argv[1:]):
+        if isinstance(a, str) and a.startswith("--"):
+            passed.add(a.lstrip("-").split("=")[0])
+    for k, v in BRAIN_DEFAULTS.items():
+        if k not in passed:
+            setattr(args, k, v)
 
 
 BENCH_SETTINGS = {
@@ -153,6 +197,23 @@ def make_model(args):
     )
 
 
+def resolve_layout(layout: str, samples, node_cap: int,
+                   edge_cap: int) -> str:
+    """``auto`` → ``packed`` iff every graph (every level) fits one
+    superblock, else ``coo``.  The packed dense-superblock layout is the
+    measured single-chip recipe (benchmarks/RESULTS.md, ~16× over COO);
+    graphs larger than the caps need the banded-spill layout
+    (complex/dense.py BlockDiagMatrix, benchmarks/tsp_bench.py) which is
+    not yet loader-automatic, so they fall back to COO here."""
+    if layout != "auto":
+        return layout
+    for s in samples:
+        for lv in s.levels:
+            if lv.num_nodes > node_cap or lv.num_edges > edge_cap:
+                return "coo"
+    return "packed"
+
+
 def synthetic_samples(args, seed: int):
     from hl_hgat_tpu.data.synthetic import random_simplex_sample
 
@@ -184,8 +245,191 @@ def synthetic_samples(args, seed: int):
     return samples
 
 
+def run_brain(args) -> None:
+    """The reference's fifth workflow — the OHBM brain training loop
+    (HL-HGAT-DEMO/OHBM_DEMO.ipynb cells 36-43) — productized: shared-
+    skeleton dense layout (`collate_dense_shared`, the 6.48M-edges/s
+    recipe), `BrainLoader` crop augmentation, full Trainer semantics
+    (plateau, gated checkpointing, `--resume`, `--dp`, `--ckpt_every`),
+    and `BrainPredictor` for `--test`.
+
+    Structure: the REAL Shen-268 skeleton + MLGC_Weight pyramid from the
+    reference's shipped group data when present (data/brain.py — level-1
+    nodes+edges = 2815 matches the shipped checkpoint); otherwise a
+    synthetic skeleton from the subjects' FC via fc2mask (notebook cell
+    18).  Series: `--data_root` npz (`timeseries` [N,R,T] + `scores`
+    [N]), else learnable synthetic fMRI."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from hl_hgat_tpu.complex.build import build_structure
+    from hl_hgat_tpu.complex.coarsen import mlgc
+    from hl_hgat_tpu.data import brain as brain_data
+    from hl_hgat_tpu.data.brain import BrainLoader
+    from hl_hgat_tpu.data.datasets import fc2mask
+    from hl_hgat_tpu.data.synthetic import synthetic_fmri_series
+    from hl_hgat_tpu.models import presets
+    from hl_hgat_tpu.train import Trainer, TrainerConfig
+
+    rng = np.random.default_rng(0)
+    real_dir_ok = os.path.isdir(brain_data.REFERENCE_BRAIN_DIR)
+    if args.data_root:
+        path = args.data_root
+        if os.path.isdir(path):
+            path = os.path.join(path, "brain.npz")
+        z = np.load(path)
+        ts_all, scores = z["timeseries"], z["scores"]
+        rois = ts_all.shape[1]
+    else:
+        rois = 268 if (args.rois == 0 and real_dir_ok) else (args.rois or 32)
+        ts_all, scores = synthetic_fmri_series(
+            rng, args.n_synthetic, rois, args.t
+        )
+    use_real = args.rois == 0 and real_dir_ok and rois == 268
+    if use_real:
+        levels, pools, _skw = brain_data.build_real_brain_pyramid(
+            pool_num=args.pool_num
+        )
+        print(f"REAL skeleton: {rois} ROIs, {levels[0].num_edges} edges "
+              f"(level-1 n+e = "
+              f"{levels[1].num_nodes + levels[1].num_edges})")
+    else:
+        # notebook cell 18: group FC -> fc2mask skeleton; then the
+        # MLGC_Weight pyramid (prune single-fine-edge coarse edges, drop
+        # isolated nodes) weighted by |mean FC|
+        fcs = np.stack([np.corrcoef(ts) for ts in ts_all])
+        mask = fc2mask(fcs, percent=0.2, mode=1)
+        src, dst = np.nonzero(mask)
+        order = np.argsort(src * mask.shape[0] + dst)
+        src = src[order].astype(np.int32)
+        dst = dst[order].astype(np.int32)
+        levels = [build_structure(src, dst, rois)]
+        pools = []
+        weight = np.abs(fcs.mean(0))[src, dst]
+        for _ in range(args.pool_num):
+            step = mlgc(
+                levels[-1], edge_weight=weight,
+                prune_single_fine_edges=True, drop_isolated_nodes=True,
+            )
+            levels.append(step.structure)
+            pools.append((step.c_node, step.c_edge))
+            weight = None
+        print(f"synthetic skeleton: {rois} ROIs, {levels[0].num_edges} "
+              f"edges")
+
+    t_full = ts_all.shape[-1]
+    crop = args.crop_len if 0 < args.crop_len < t_full else None
+    n_val = max(len(ts_all) // 5, 1)  # notebook: 40 train / 10 test
+    folds = [args.fold] if args.fold >= 0 else list(range(args.folds))
+    final = levels[args.pool_num]
+    if final.num_nodes == 0:
+        raise SystemExit(
+            "brain pyramid collapsed to 0 nodes (MLGC_Weight pruning on a "
+            "too-sparse skeleton) — increase --rois or lower --pool_num"
+        )
+    for fold in folds:
+        print(f"Fold {fold} begin")
+        mlp = (64,) * max(args.mlp_channels, 1)
+        model, meta = presets.hgat_attpool(
+            channels=(args.c1, args.c2, args.c3),
+            filters=(args.filters // 2, args.filters, args.filters * 2),
+            k=args.K, dropout=args.dropout_ratio, mlp_channels=mlp,
+            pool_num=args.pool_num,
+            nodes_per_graph=final.num_nodes,
+            edges_per_graph=final.num_edges,
+            fine_nodes_per_graph=levels[0].num_nodes,
+            fine_edges_per_graph=levels[0].num_edges,
+        )
+        model = _dc.replace(
+            model,
+            cfg=_dc.replace(
+                model.cfg,
+                compute_dtype=args.dtype,
+                remat={"0": False, "1": True, "msi": "msi",
+                       "dots": "dots"}[args.remat],
+                stack_concat=args.stack_concat,
+            ),
+        )
+        cfg = TrainerConfig(
+            task="brain", lr=args.lr, weight_decay=args.l2,
+            plateau_patience=10, metric_mode="max", save_gate=None,
+            denorm=meta["y_std"],
+            ckpt_dir=os.path.join(args.save_dir, f"brain_fold{fold}"),
+            ckpt_every=args.ckpt_every, seed=fold,
+        )
+        if args.dp > 1:
+            from hl_hgat_tpu.parallel import DataParallelTrainer
+            from hl_hgat_tpu.parallel.mesh import make_mesh
+
+            trainer = DataParallelTrainer(model, cfg, make_mesh(data=args.dp))
+        else:
+            trainer = Trainer(model, cfg)
+
+        perm = np.random.default_rng(fold).permutation(len(ts_all))
+        val_idx, train_idx = perm[:n_val], perm[n_val:]
+        train_loader = BrainLoader(
+            [ts_all[i] for i in train_idx], scores[train_idx],
+            levels, pools, args.batch_size, crop_len=crop, shuffle=True,
+            seed=fold, y_mean=meta["y_mean"], y_std=meta["y_std"],
+        )
+        val_loader = BrainLoader(
+            [ts_all[i] for i in val_idx], scores[val_idx], levels, pools,
+            min(args.batch_size, n_val), crop_len=None, shuffle=False,
+            drop_last=False, y_mean=meta["y_mean"], y_std=meta["y_std"],
+        )
+        if len(train_loader) == 0:
+            raise SystemExit(
+                f"batch_size {args.batch_size} exceeds the "
+                f"{len(train_idx)}-subject train split"
+            )
+        to_dev = (
+            (lambda it: it) if args.dp > 1
+            else (lambda it: (jax.tree.map(jnp.asarray, b) for b in it))
+        )
+        state = trainer.init_state(
+            jax.tree.map(jnp.asarray, next(iter(val_loader)))
+        )
+        if args.test:
+            from hl_hgat_tpu.serving import BrainPredictor
+            from hl_hgat_tpu.train.metrics import pearson_corr
+
+            state, start = trainer.maybe_restore(state, prefer="best")
+            if start == 1:
+                raise SystemExit(
+                    f"--test: no checkpoint under {cfg.ckpt_dir} — train "
+                    f"first (or point --save_dir at the trained weights)"
+                )
+            predictor = BrainPredictor(
+                model,
+                {"params": state.params, "batch_stats": state.batch_stats},
+                levels, pools, batch_size=min(args.batch_size, n_val),
+            )
+            out = predictor([ts_all[i] for i in val_idx])
+            yz = (scores[val_idx] - meta["y_mean"]) / meta["y_std"]
+            pred = out["pred"].reshape(-1)
+            corr = float(np.asarray(pearson_corr(
+                jnp.asarray(pred), jnp.asarray(yz))))
+            rmse = float(np.sqrt(np.mean((pred - yz) ** 2))) * meta["y_std"]
+            print(f"Fold {fold} test corr={corr:.4f} "
+                  f"RMSE={rmse:.4f} (epoch {start - 1} best)")
+            continue
+        state = trainer.fit(
+            state,
+            lambda: to_dev(train_loader),
+            lambda: to_dev(val_loader),
+            epochs=args.epochs,
+            resume=bool(args.resume),
+        )
+        print(f"Fold {fold} best metric: {trainer.best_metric:.4f}")
+
+
 def main(argv=None) -> None:
     args = build_argparser().parse_args(argv)
+    if args.benchmark == "brain":
+        apply_brain_defaults(args, argv)
+        return run_brain(args)
     import jax
     import jax.numpy as jnp
 
@@ -298,10 +542,16 @@ def main(argv=None) -> None:
                     val_s = train_s[: n_val * a : a]
                     train_s = train_s[n_val * a :]
         y_per_edge = settings["task"] == "edge_binary"
+        layout = resolve_layout(
+            args.layout, list(train_s) + list(val_s),
+            args.pack_cap, args.edge_cap or args.pack_cap,
+        )
+        if args.layout == "auto":
+            print(f"--layout auto -> {layout}")
         make_loader = lambda ss, sh, **lkw: BucketedLoader(  # noqa: E731
             ss, batch_size=args.batch_size, shuffle=sh, y_per_edge=y_per_edge,
             seed=fold,
-            layout="dense_packed" if args.layout == "packed" else "coo",
+            layout="dense_packed" if layout == "packed" else "coo",
             node_cap=args.pack_cap,
             edge_cap=args.edge_cap or args.pack_cap,
             transfer=args.transfer,

