@@ -216,6 +216,14 @@ def load_samples(
             for gi, g in enumerate(_exported_pkl(root, benchmark, split))
             for v in range(aug_variants)
         ]
+    elif benchmark in ("pascalvoc", "coco"):
+        # beyond-reference node-classification heads on the reference's own
+        # LRGB loaders (reference lib/LRGBDataset.py:26-306 ships the
+        # datasets but no model); raw pickles parse via data/lrgb.py
+        from hl_hgat_tpu.data.lrgb import iter_lrgb
+
+        lrgb_name = "PascalVOC-SP" if benchmark == "pascalvoc" else "COCO-SP"
+        samples = list(iter_lrgb(root, lrgb_name, split, keig=keig))
     else:
         raise ValueError(f"unknown benchmark {benchmark!r}")
     if cache:

@@ -43,6 +43,9 @@ class BucketedLoader:
     shuffle: bool = True
     num_buckets: int = 1
     y_per_edge: bool = False
+    # per-node labels (PascalVOC-SP / COCO-SP node classification); COO
+    # layout only — the packed collators do not carry node-level labels
+    y_per_node: bool = False
     pad_multiple: int = 8
     pad_slack: float = 1.0
     seed: int = 0
@@ -85,6 +88,8 @@ class BucketedLoader:
     def __post_init__(self):
         if self.layout not in ("coo", "dense_packed"):
             raise ValueError(f"unknown layout {self.layout!r}")
+        if self.y_per_node and self.layout != "coo":
+            raise ValueError("y_per_node labels need layout='coo'")
         if self.transfer not in ("dense", "compact", "derived"):
             raise ValueError(f"unknown transfer {self.transfer!r}")
         if self.variants > 1 and len(self.samples) % self.variants:
@@ -254,7 +259,9 @@ class BucketedLoader:
                         self._filler[b]
                     ] * n_fill
                     yield self._cast_features(collate(
-                        batch_samples, self._pads[b], y_per_edge=self.y_per_edge
+                        batch_samples, self._pads[b],
+                        y_per_edge=self.y_per_edge,
+                        y_per_node=self.y_per_node,
                     ))
 
     def _cast_features(self, batch):

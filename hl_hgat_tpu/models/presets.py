@@ -270,6 +270,10 @@ def pcqm_link(
     channels=(2, 2, 2), filters=(64, 128, 256), k=4, dropout=0.1,
     mlp_channels=(128,),
 ):
+    """EXPERIMENTAL (beyond-reference, no CLI loop): the pair-input
+    signature doesn't ride ``ComplexBatch``, so training runs through a
+    custom step — see ``benchmarks/convergence_tasks.py --task link_pred``
+    for the MRR convergence proxy and the step pattern."""
     from hl_hgat_tpu.models.backbone import HLHGCNNLinkPred
 
     cfg = BackboneConfig(

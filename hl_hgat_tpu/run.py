@@ -21,7 +21,8 @@ import numpy as np
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--benchmark", default="zinc",
-                   choices=["zinc", "pepfunc", "tsp", "cifar10sp", "brain"])
+                   choices=["zinc", "pepfunc", "tsp", "cifar10sp", "brain",
+                            "pascalvoc", "coco"])
     p.add_argument("--c1", type=int, default=2)
     p.add_argument("--c2", type=int, default=3)
     p.add_argument("--c3", type=int, default=3)
@@ -168,6 +169,13 @@ BENCH_SETTINGS = {
                 patience=5, pe_static=None),
     "cifar10sp": dict(task="classification", metric_mode="max", save_gate=0.6,
                       patience=5, pe_static=(5, 4)),
+    # beyond-reference LRGB node-classification heads (the reference ships
+    # these loaders, lib/LRGBDataset.py:26-306, but no models; save gates
+    # are ours — macro-F1, no published floor)
+    "pascalvoc": dict(task="node_classification", metric_mode="max",
+                      save_gate=None, patience=10, pe_static=(14, 2)),
+    "coco": dict(task="node_classification", metric_mode="max",
+                 save_gate=None, patience=10, pe_static=(14, 2)),
 }
 
 
@@ -191,6 +199,12 @@ def make_model(args):
         return presets.tsp_pyr(channels=channels, filters=filters, k=args.K,
                                dropout=args.dropout_ratio,
                                mlp_channels=mlp[:1] or (256,))
+    if args.benchmark in ("pascalvoc", "coco"):
+        fn = (presets.pascalvoc_node if args.benchmark == "pascalvoc"
+              else presets.coco_node)
+        return fn(channels=channels, filters=filters, k=args.K,
+                  dropout=args.dropout_ratio,
+                  mlp_channels=mlp[:1] or (128,))
     return presets.cifar10sp_attpool(
         channels=channels, filters=filters, k=args.K,
         dropout=args.dropout_ratio, mlp_channels=mlp or (256,),
@@ -220,6 +234,10 @@ def synthetic_samples(args, seed: int):
     rng = np.random.default_rng(seed)
     samples = []
     num_pool = 1 if args.benchmark in ("pepfunc", "cifar10sp") else 0
+    if args.benchmark in ("pascalvoc", "coco"):
+        # fixed random projection → learnable per-node labels
+        n_classes = 21 if args.benchmark == "pascalvoc" else 81
+        label_w = np.random.default_rng(7).standard_normal((14, n_classes))
     for _ in range(args.n_synthetic):
         if args.benchmark == "zinc":
             s = random_simplex_sample(rng, n_nodes=int(rng.integers(15, 33)),
@@ -231,6 +249,14 @@ def synthetic_samples(args, seed: int):
                                       node_feat=2, edge_feat=2, keig=0)
             s.x_s[:, -1] = 1.0
             s.y = (rng.random(s.num_edges) > 0.8).astype(np.float32)
+        elif args.benchmark in ("pascalvoc", "coco"):
+            s = random_simplex_sample(
+                rng, n_nodes=int(rng.integers(30, 80)), node_feat=14,
+                edge_feat=2, keig=10,
+            )
+            s.y = np.argmax(
+                s.x_t[:, :14] @ label_w, axis=1
+            ).astype(np.float32).reshape(-1, 1)
         else:
             s = random_simplex_sample(
                 rng, n_nodes=int(rng.integers(20, 60)), node_feat=9,
@@ -542,14 +568,19 @@ def main(argv=None) -> None:
                     val_s = train_s[: n_val * a : a]
                     train_s = train_s[n_val * a :]
         y_per_edge = settings["task"] == "edge_binary"
-        layout = resolve_layout(
-            args.layout, list(train_s) + list(val_s),
-            args.pack_cap, args.edge_cap or args.pack_cap,
-        )
-        if args.layout == "auto":
-            print(f"--layout auto -> {layout}")
+        y_per_node = settings["task"] == "node_classification"
+        if y_per_node:
+            layout = "coo"  # packed collators do not carry node labels
+        else:
+            layout = resolve_layout(
+                args.layout, list(train_s) + list(val_s),
+                args.pack_cap, args.edge_cap or args.pack_cap,
+            )
+            if args.layout == "auto":
+                print(f"--layout auto -> {layout}")
         make_loader = lambda ss, sh, **lkw: BucketedLoader(  # noqa: E731
             ss, batch_size=args.batch_size, shuffle=sh, y_per_edge=y_per_edge,
+            y_per_node=y_per_node,
             seed=fold,
             layout="dense_packed" if layout == "packed" else "coo",
             node_cap=args.pack_cap,

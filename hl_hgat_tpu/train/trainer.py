@@ -44,7 +44,8 @@ class TrainState:
 
 @dataclasses.dataclass(frozen=True)
 class TrainerConfig:
-    task: str = "regression"  # regression|classification|multilabel|edge_binary|brain
+    # regression|classification|multilabel|edge_binary|brain|node_classification
+    task: str = "regression"
     lr: float = 1e-3
     weight_decay: float = 1e-3
     plateau_patience: int = 10
@@ -101,6 +102,15 @@ def _loss_for(task: str):
             out.reshape(-1),
             batch.y.reshape(-1),
             batch.level0.edge_mask.reshape(-1),
+        )
+    if task == "node_classification":
+        # per-node CE masked by node validity (PascalVOC-SP / COCO-SP —
+        # beyond-reference heads; the reference ships the loaders,
+        # lib/LRGBDataset.py:26-306, but no model)
+        return lambda out, batch: L.softmax_ce_loss(
+            out.reshape(-1, out.shape[-1]),
+            batch.y.reshape(-1).astype(jnp.int32),
+            batch.level0.node_mask.reshape(-1),
         )
     raise ValueError(f"unknown task {task!r}")
 
@@ -296,6 +306,7 @@ class Trainer:
         preds, ys = [], []
         f1s = []
         accs = []
+        node_masks = []
         for batch in batches:
             out, loss = self._eval_step(state, batch)
             g = batch.num_graphs
@@ -333,6 +344,12 @@ class Trainer:
                 f1s.append(M.per_graph_binary_f1(o, yy, seg, g, m) * g)
             elif cfg.task == "classification":
                 accs.append(M.accuracy(out, batch.y.reshape(-1)) * g)
+            elif cfg.task == "node_classification":
+                preds.append(out.reshape(-1, out.shape[-1]))
+                ys.append(jnp.asarray(batch.y).reshape(-1))
+                node_masks.append(
+                    jnp.asarray(batch.level0.node_mask).reshape(-1)
+                )
             else:
                 preds.append(out.reshape(-1, out.shape[-1]))
                 ys.append(jnp.asarray(batch.y).reshape(-1, out.shape[-1]))
@@ -355,6 +372,14 @@ class Trainer:
             metric = M.eval_ap(
                 np.asarray(jnp.concatenate(ys)),
                 np.asarray(jnp.concatenate(preds)),
+            )
+        elif cfg.task == "node_classification":
+            lg = np.asarray(jnp.concatenate(preds))
+            metric = M.macro_f1(
+                lg,
+                np.asarray(jnp.concatenate(ys)),
+                num_classes=lg.shape[-1],
+                mask=np.asarray(jnp.concatenate(node_masks)),
             )
         else:
             metric = float(np.asarray(sum(f1s))) / max(n, 1)

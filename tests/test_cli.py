@@ -100,6 +100,17 @@ class TestCli:
         assert args.c2 == 2 and args.c3 == 2 and args.K == 4
         assert args.stack_concat == "layer"
 
+    def test_pascalvoc_synthetic(self, tmp_path, capsys):
+        """Beyond-reference node-classification benchmark through the CLI:
+        per-node labels (y_per_node COO path), masked CE, macro-F1."""
+        main(["--benchmark", "pascalvoc", "--synthetic", "--n_synthetic",
+              "12", "--keig", "5", "--fold", "0", "--c1", "1", "--c2", "1",
+              "--c3", "1", "--filters", "8", "--K", "2", "--mlp_channels",
+              "1", "--batch_size", "4", "--epochs", "1",
+              "--save_dir", str(tmp_path)])
+        out = capsys.readouterr().out
+        assert "Epoch 001" in out and "Fold 0" in out
+
     def test_dp_synthetic(self, tmp_path, capsys):
         import jax
 
