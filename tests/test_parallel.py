@@ -130,6 +130,123 @@ class TestDataParallel:
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
             )
 
+    def test_dp_spill_tsp500_distinct_shards(self, mesh8):
+        """TSP-500-shaped banded-spill batches at the SHIPPING caps (S=128,
+        edge_cap=512, KNN graphs spanning several blocks) with DISTINCT
+        sub-batches per shard — uneven per-shard band/spill nnz is the
+        failure mode the toy identical-shard test cannot catch (VERDICT r3
+        weak #6).  The DP step must equal the manual pmean reference."""
+        import optax
+
+        from hl_hgat_tpu.complex.build import build_complex
+        from hl_hgat_tpu.complex.dense import (
+            BlockDiagMatrix,
+            collate_dense_packed,
+            reorder_sample,
+        )
+        from hl_hgat_tpu.models.backbone import HLHGCNNTsp
+        from hl_hgat_tpu.train.losses import focal_loss
+
+        rng = np.random.default_rng(3)
+
+        def knn_sample(n, k=5):
+            pts = rng.random((n, 2))
+            d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+            np.fill_diagonal(d2, np.inf)
+            nbr = np.argsort(d2, axis=1)[:, :k]
+            src = np.repeat(np.arange(n), k)
+            dst = nbr.reshape(-1)
+            lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+            uniq = np.unique(lo.astype(np.int64) * n + hi)
+            ei = np.stack([uniq // n, uniq % n]).astype(np.int64)
+            e = ei.shape[1]
+            dist = np.sqrt(d2[ei[0], ei[1]]).astype(np.float32)
+            x_s = np.concatenate(
+                [dist[:, None], np.ones((e, 1), np.float32)], axis=1
+            )
+            s = build_complex(
+                ei, n, x_t=pts.astype(np.float32), x_s=x_s,
+                y=(rng.random(e) > 0.8).astype(np.float32),
+            )
+            return reorder_sample(s, y_per_edge=True)
+
+        # 8 distinct sub-batches, 2 graphs each, 150-400 nodes (the real
+        # TSP spread) at the shipping caps; shapes pinned via num_blocks +
+        # a coarse spill pad so stacking works with uneven nnz
+        sizes = rng.integers(150, 400, (8, 2))
+        collate_kw = dict(node_cap=128, edge_cap=512, y_per_edge=True,
+                          num_blocks=8, spill_pad_multiple=4096)
+        batches = [
+            collate_dense_packed([knn_sample(int(a)), knn_sample(int(b))],
+                                 **collate_kw)
+            for a, b in sizes
+        ]
+        lvl = batches[0].levels[0]
+        assert isinstance(lvl.l0, BlockDiagMatrix)
+        assert lvl.l1.band_up is not None  # banded path exercised
+        model = HLHGCNNTsp(
+            cfg=BackboneConfig(channels=(1,), filters=(8,), k=2, init_k=2),
+            mlp_channels=(8,),
+        )
+        loss_fn = lambda out, b: focal_loss(  # noqa: E731
+            out.reshape(-1), b.y.reshape(-1),
+            b.levels[0].edge_mask.reshape(-1),
+        )
+        trainer = Trainer(model, TrainerConfig(task="edge_binary", lr=1e-2))
+        state = trainer.init_state(jax.tree.map(jnp.asarray, batches[0]))
+        # SGD for the equality check: with DISTINCT shards some leaves'
+        # mean gradient is cancellation-dominated, and Adam's first-step
+        # scale invariance amplifies f32 summation-order noise to ±lr —
+        # under SGD the param delta IS the pmean'd gradient, so the
+        # comparison is meaningful at float tolerance
+        import dataclasses as _dc
+
+        tx = optax.sgd(1e-2)
+        state = _dc.replace(state, opt_state=tx.init(state.params))
+
+        # manual reference FIRST (the DP step donates its state buffers):
+        # per-batch grads at the same params, tree-mean, one optimizer step
+        # (exactly what pmean-of-grads must equal)
+        def compute(params, batch):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, deterministic=False, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(0)},
+            )
+            if isinstance(out, tuple):
+                out = out[0]
+            return loss_fn(out, batch), mut["batch_stats"]
+
+        per = [
+            jax.value_and_grad(compute, has_aux=True)(
+                state.params, jax.tree.map(jnp.asarray, b)
+            )
+            for b in batches
+        ]
+        losses = [p[0][0] for p in per]
+        grads = jax.tree.map(
+            lambda *xs: sum(xs) / len(xs), *[p[1] for p in per]
+        )
+        ref_loss = float(sum(jax.tree.map(float, losses)) / len(losses))
+        updates, _ = tx.update(grads, state.opt_state, state.params)
+        ref_params = optax.apply_updates(state.params, updates)
+        ref_params = jax.tree.map(np.asarray, ref_params)  # host copies
+
+        dp_step = make_dp_train_step(model, tx, loss_fn, mesh8)
+        sharded = shard_batches(stack_batches(batches), mesh8)
+        dp_state, dp_loss = dp_step(replicate_state(state, mesh8), sharded)
+
+        np.testing.assert_allclose(float(dp_loss), ref_loss, rtol=1e-4)
+        # atol=1e-5: the focal x1e4 loss amplifies f32 summation-order
+        # noise in cancellation-dominated mean-grads to ~1e-6 in param
+        # space; band/spill mishandling across uneven shards would show
+        # as O(1)-relative differences, far above this bar
+        for a, b in zip(jax.tree.leaves(dp_state.params),
+                        jax.tree.leaves(ref_params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+            )
+
     def test_dp_distinct_batches_runs(self, mesh8):
         model = small_model()
         loss_fn = lambda out, b: l1_loss(out.reshape(-1), b.y.reshape(-1))  # noqa: E731
