@@ -61,20 +61,38 @@ def set_learning_rate(opt_state, lr: float):
 
 @dataclasses.dataclass
 class ReduceLROnPlateau:
-    """min-mode plateau scheduler (torch semantics, threshold 1e-4 rel)."""
+    """Plateau scheduler (torch semantics, rel threshold).
+
+    ``mode='min'`` tracks a loss (improvement = ``m < best*(1-threshold)``);
+    ``mode='max'`` tracks a score such as validation accuracy (improvement =
+    ``m > best*(1+threshold)``) — the CIFAR10-SP script schedules on
+    accuracy this way (reference main_cifar10SP_HL_HGCNN_dense_int3_attpool
+    .py:201-202, ``mode='max'``)."""
 
     lr: float
     patience: int = 10
     factor: float = 0.5
     min_lr: float = 1e-6
     threshold: float = 1e-4
+    mode: str = "min"
 
-    best: float = float("inf")
+    best: float | None = None
     num_bad: int = 0
+
+    def __post_init__(self) -> None:
+        if self.mode not in ("min", "max"):
+            raise ValueError(f"mode must be 'min' or 'max', got {self.mode!r}")
+        if self.best is None:
+            self.best = float("inf") if self.mode == "min" else float("-inf")
+
+    def _improved(self, metric: float) -> bool:
+        if self.mode == "min":
+            return metric < self.best * (1.0 - self.threshold)
+        return metric > self.best * (1.0 + self.threshold)
 
     def step(self, metric: float) -> float:
         """Feed the validation metric; returns the (possibly reduced) lr."""
-        if metric < self.best * (1.0 - self.threshold):
+        if self._improved(metric):
             self.best = metric
             self.num_bad = 0
         else:

@@ -1004,7 +1004,102 @@ def fixture_traj_tsp():
          **init_sd)
 
 
+def fixture_traj_cifar_attpool():
+    """Training-trajectory oracle for the GATED/POOLED family (VERDICT r3
+    item 3): the CIFAR10-SP attpool script's exact loop semantics — plain
+    CE train loss, eval loss = CE + att_t/att_s L1 penalties, accuracy, and
+    ReduceLROnPlateau(mode='max') stepped on validation ACCURACY (reference
+    main_cifar10SP_HL_HGCNN_dense_int3_attpool.py:131-232) — through the
+    max-norm ReLU gates + structural pooling (lib/Hodge_ST_Model.py:
+    1058-1074).  dropout_ratio=0 (the ctor's own default) keeps the A/B
+    deterministic; patience 3 / threshold 1e-3 as in the other trajectory
+    fixtures so the scheduler fires within 40 epochs."""
+    torch.manual_seed(3300)
+    node_dim, edge_dim, keig = 3, 2, 4
+    num_classes = 4
+    gen = torch.Generator().manual_seed(3301)
+    level0, level1 = [], []
+    sizes = [(10, 4), (8, 3), (13, 6), (9, 4), (11, 5), (12, 4),
+             (10, 5), (8, 4), (14, 6), (9, 3), (11, 4), (10, 3)]
+    for gi, (n, extra) in enumerate(sizes):
+        ei = make_graph(n, extra, seed=3400 + gi)
+        x_t = torch.randn(n, node_dim + keig, generator=gen)
+        x_s = torch.randn(ei.shape[1], edge_dim + keig, generator=gen)
+        y = torch.randint(0, num_classes, (1,), generator=gen)
+        d0, d1 = _pyramid_pair(ei, n, x_t, x_s, y, gen)
+        level0.append(d0)
+        level1.append(d1)
+    batch_size, epochs = 4, 40
+    batches = [[Batch.from_data_list(level0[i:i + batch_size]),
+                Batch.from_data_list(level1[i:i + batch_size])]
+               for i in range(0, len(level0), batch_size)]
+    full = [Batch.from_data_list(level0), Batch.from_data_list(level1)]
+
+    model = ref_models.HL_HGCNN_CIFAR10SP_dense_int3_attpool(
+        channels=[2, 2], filters=[8, 16], mlp_channels=[8], K=2,
+        node_dim=node_dim, edge_dim=edge_dim, keig=keig, pool_loc=0,
+        l=0.5, num_classes=num_classes, dropout_ratio=0.0,
+    )
+    init_sd = {f"sd/{k}": v.detach().numpy().copy()
+               for k, v in model.state_dict().items()}
+    criterion = torch.nn.CrossEntropyLoss()
+    optimizer = torch.optim.Adam(model.parameters(), lr=1e-3,
+                                 weight_decay=1e-3)
+    scheduler = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        optimizer, mode="max", patience=3, factor=0.5, min_lr=1e-6,
+        threshold=1e-3)
+    train_losses, valid_losses, valid_accs, lrs = [], [], [], []
+    for _ in range(epochs):
+        model.train()
+        total, count = 0.0, 0
+        for b in batches:
+            y = b[0].y
+            out, att_t, att_s = model(b, device="cpu", if_att=True)
+            loss = criterion(out, y)
+            # script order: backward, step, THEN zero (main_cifar...:140-142)
+            loss.backward()
+            optimizer.step()
+            optimizer.zero_grad()
+            g = int(b[0].num_node1.shape[0])
+            total += float(loss) * g
+            count += g
+        train_losses.append(total / count)
+        model.eval()
+        with torch.no_grad():
+            out, att_t, att_s = model(full, device="cpu", if_att=True)
+            y = full[0].y
+            vloss = float(criterion(out, y) + att_t.abs().mean()
+                          + att_s.abs().mean())
+            acc = float((torch.argmax(out, dim=1) == y).float().mean())
+        valid_losses.append(vloss)
+        valid_accs.append(acc)
+        scheduler.step(acc)
+        lrs.append(optimizer.param_groups[0]["lr"])
+
+    b0, b1 = full
+    save("traj_cifar_attpool",
+         train_losses=np.asarray(train_losses),
+         valid_losses=np.asarray(valid_losses),
+         valid_accs=np.asarray(valid_accs), lrs=np.asarray(lrs),
+         num_node1=b0.num_node1, num_edge1=b0.num_edge1,
+         num_node1_c=b1.num_node1, num_edge1_c=b1.num_edge1,
+         y=b0.y, batch_size=np.asarray(batch_size),
+         **_batch_arrays(b0, ["x_t", "x_s", "edge_index_t", "edge_weight_t",
+                              "edge_index_s", "edge_weight_s", "edge_index"]),
+         **init_sd)
+
+
 if __name__ == "__main__":
+    import sys as _sys
+
+    if _sys.argv[1:]:
+        # regenerate only the named fixtures (the full run is slow on the
+        # throttled host):  python scripts/make_reference_fixtures.py \
+        #     fixture_traj_cifar_attpool
+        for fname in _sys.argv[1:]:
+            globals()[fname]()
+        print("reference fixtures complete")
+        raise SystemExit(0)
     fixture_laguerre()
     fixture_cheb()
     fixture_msi_att()
@@ -1028,4 +1123,5 @@ if __name__ == "__main__":
     fixture_traj_zinc()
     fixture_traj_zinc(seed_base=2000, name="traj_zinc_s2")
     fixture_traj_tsp()
+    fixture_traj_cifar_attpool()
     print("reference fixtures complete")

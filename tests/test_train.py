@@ -125,6 +125,25 @@ class TestOptim:
         assert sch.step(1.0) == 0.5  # bad 2 > patience → halve
         assert sch.step(0.5) == 0.5  # improvement resets
 
+    def test_plateau_max_mode_matches_torch(self):
+        """mode='max' (the CIFAR script schedules on validation ACCURACY,
+        reference main_cifar10SP...py:201-202) must replay torch's
+        decisions on an arbitrary metric sequence."""
+        import torch
+
+        metrics = [0.1, 0.2, 0.2, 0.2, 0.2, 0.2, 0.25, 0.25, 0.25, 0.25,
+                   0.25, 0.3, 0.1, 0.1, 0.1, 0.1, 0.1]
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.Adam([p], lr=1.0)
+        tsch = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode="max", patience=2, factor=0.5, min_lr=1e-3,
+            threshold=1e-3)
+        ours = ReduceLROnPlateau(lr=1.0, patience=2, factor=0.5,
+                                 min_lr=1e-3, threshold=1e-3, mode="max")
+        for m in metrics:
+            tsch.step(m)
+            assert ours.step(m) == opt.param_groups[0]["lr"], m
+
 
 class TestEndToEnd:
     def test_zinc_smoke_learns(self):
