@@ -29,6 +29,9 @@ def main(argv=None) -> None:
     ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--head_dtype", default=None,
+                    help="mixed-precision head (e.g. float32 on a bf16 "
+                         "trunk); None follows --dtype")
     ap.add_argument("--remat", action="store_true")
     args = ap.parse_args(argv)
 
@@ -82,7 +85,8 @@ def main(argv=None) -> None:
 
     model = HLHGCNNGraph(
         cfg=BackboneConfig(channels=(2, 2), filters=(32, 64), k=4, init_k=4,
-                           compute_dtype=args.dtype, remat=args.remat),
+                           compute_dtype=args.dtype, remat=args.remat,
+                           head_dtype=args.head_dtype),
         mlp_channels=(64,),
         num_classes=1,
     )
@@ -100,6 +104,7 @@ def main(argv=None) -> None:
     print(json.dumps(dict(metric="synthetic_val_mae", value=round(best, 4),
                           label_std=round(float(ys.std()), 4),
                           dtype=args.dtype, remat=args.remat,
+                          head_dtype=args.head_dtype,
                           ratio=round(best / ys.std(), 3))), flush=True)
 
 

@@ -132,8 +132,12 @@ class FlatSamples:
 def pack_indices(
     flat: FlatSamples, indices: np.ndarray, node_cap: int, edge_cap: int
 ) -> list[list[int]]:
-    """Next-fit-decreasing bin packing — identical order/assignment to
-    `complex/dense.py::pack_graphs` (bins hold positions into ``indices``)."""
+    """First-fit-decreasing bin packing — identical order/assignment to
+    `complex/dense.py::pack_plan` (bins hold positions into ``indices``).
+
+    Round 4: was next-fit (close the bin on the first miss); first-fit over
+    all open bins packs the flagship bench batch into 66 blocks instead of
+    72 (~8% fewer padded rows through every GEMM of the step)."""
     n = flat.levels[0].num_nodes[indices]
     e = flat.levels[0].num_edges[indices]
     if int(n.max()) > node_cap or int(e.max()) > edge_cap:
@@ -144,18 +148,20 @@ def pack_indices(
         )
     order = np.argsort(-(n.astype(np.int64) + e), kind="stable")
     bins: list[list[int]] = []
-    cur: list[int] = []
-    cn = ce = 0
+    rem_n: list[int] = []
+    rem_e: list[int] = []
     for pos in order.tolist():
         nn, ee = int(n[pos]), int(e[pos])
-        if cn + nn > node_cap or ce + ee > edge_cap:
-            bins.append(cur)
-            cur, cn, ce = [], 0, 0
-        cur.append(pos)
-        cn += nn
-        ce += ee
-    if cur:
-        bins.append(cur)
+        for b in range(len(bins)):
+            if rem_n[b] >= nn and rem_e[b] >= ee:
+                bins[b].append(pos)
+                rem_n[b] -= nn
+                rem_e[b] -= ee
+                break
+        else:
+            bins.append([pos])
+            rem_n.append(node_cap - nn)
+            rem_e.append(edge_cap - ee)
     return bins
 
 

@@ -76,6 +76,14 @@ class BackboneConfig:
     # params stay fp32, matmuls accumulate fp32 (preferred_element_type), BN
     # statistics are computed in fp32 regardless.
     compute_dtype: str = "float32"
+    # Mixed-precision head: dtype of the readout + MLP-head computation.
+    # None follows compute_dtype.  "float32" on a bf16 trunk casts the
+    # final features up BEFORE the segment-mean readout, so the pooled
+    # vector, the MLP and the output layer all run in f32 — the measured
+    # mitigation for the bf16 regression-MAE penalty at ~zero step cost
+    # (benchmarks/RESULTS.md round 4; the head is [G, C]-sized, a
+    # negligible share of the step's bytes).
+    head_dtype: str | None = None
     # rematerialize layers in the backward pass (per-layer nn.remat):
     #   True  — remat both MSI and conv pairs: residuals shrink from every
     #           layer's Laguerre term pyramid to the layer inputs; unlocks
@@ -379,10 +387,14 @@ class HLHGCNNGraph(nn.Module):
             x_t, x_s, batch, deterministic
         )
         level = batch.levels[feats["level_idx"]]
+        f_t, f_s = feats["x_t"], feats["x_s"]
+        if self.cfg.head_dtype is not None:
+            hd = jnp.dtype(self.cfg.head_dtype)
+            f_t, f_s = f_t.astype(hd), f_s.astype(hd)
         pooled = jnp.concatenate(
             [
-                masked_mean_edges(level, feats["x_s"], batch.num_graphs),
-                masked_mean_nodes(level, feats["x_t"], batch.num_graphs),
+                masked_mean_edges(level, f_s, batch.num_graphs),
+                masked_mean_nodes(level, f_t, batch.num_graphs),
             ],
             axis=-1,
         )

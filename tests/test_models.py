@@ -313,3 +313,44 @@ class TestStackGranularity:
             np.testing.assert_allclose(
                 grads[0], grads[i], rtol=2e-4, atol=2e-5
             )
+
+
+class TestHeadDtype:
+    def test_f32_head_on_bf16_trunk(self):
+        """head_dtype mixed precision (the bf16 regression-penalty
+        mitigation, benchmarks/RESULTS.md round 4): param tree unchanged,
+        f32+head_dtype is a no-op, and on a bf16 trunk the f32 head's
+        output lands closer to the all-f32 reference than the all-bf16
+        path on a fixed batch."""
+        import dataclasses
+
+        batch = to_device(synthetic_zinc_batch(6, keig=16, embed_ids=True))
+        model, _ = presets.zinc_pyr(
+            channels=(2,), filters=(16,), k=2, keig=8, mlp_channels=(8,)
+        )
+
+        def forward(compute_dtype, head_dtype):
+            m = dataclasses.replace(
+                model, cfg=dataclasses.replace(
+                    model.cfg, compute_dtype=compute_dtype,
+                    head_dtype=head_dtype,
+                )
+            )
+            variables, out = init_and_forward(m, batch)
+            return variables, np.asarray(out)
+
+        v_ref, out_f32 = forward("float32", None)
+        v_noop, out_noop = forward("float32", "float32")
+        v_bf16, out_bf16 = forward("bfloat16", None)
+        v_mix, out_mix = forward("bfloat16", "float32")
+        # identical param trees (head_dtype is a cast, not a module change)
+        ref_paths = {p for p, _ in jax.tree_util.tree_flatten_with_path(
+            v_ref["params"])[0]}
+        for v in (v_noop, v_bf16, v_mix):
+            paths = {p for p, _ in jax.tree_util.tree_flatten_with_path(
+                v["params"])[0]}
+            assert paths == ref_paths
+        np.testing.assert_array_equal(out_noop, out_f32)  # exact no-op
+        err_bf16 = float(np.abs(out_bf16 - out_f32).mean())
+        err_mix = float(np.abs(out_mix - out_f32).mean())
+        assert err_mix < err_bf16, (err_mix, err_bf16)
