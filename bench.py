@@ -38,14 +38,15 @@ BASELINE_EDGES_PER_SEC = 1.0e6
 
 STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS", "200"))
 TIMED_CALLS = 3
-# Measured single-chip optimum (host-readback barrier): packed superblocks,
-# batch 320, bf16, NO remat, merged-GEMM MSI + block-granular stacks →
-# 217 steps/s = 1.77M real edges/s.  Per-edge throughput peaks at the batch
-# where XLA's auto-spill pass starts firing (HBM ceiling); the merged-GEMM
-# traffic cut moved the knee from 256 to 320.  Full frontier + methodology
-# note in benchmarks/RESULTS.md.  Override batch / dtype / remat / K /
-# filters / stack granularity via env.
-BATCH_GRAPHS = int(os.environ.get("BENCH_BATCH_GRAPHS", "320"))
+# Measured single-chip optimum (host-readback barrier): packed superblocks
+# (first-fit-decreasing packer, round 4), batch 384, bf16, NO remat,
+# merged-GEMM MSI + block-granular stacks + MXU one-hot readout →
+# 2.16M real edges/s.  Per-edge throughput peaks at the batch where XLA's
+# auto-spill pass starts firing; the FFD packer moved the knee from 320 to
+# 384 (320 → 2.146M, 384 → 2.160M, 448 → 2.150M).  Full frontier +
+# methodology note in benchmarks/RESULTS.md.  Override batch / dtype /
+# remat / K / filters / stack granularity via env.
+BATCH_GRAPHS = int(os.environ.get("BENCH_BATCH_GRAPHS", "384"))
 
 
 def main() -> None:
@@ -67,12 +68,11 @@ def main() -> None:
     # gather/segment-sum path.
     mode = sys.argv[1] if len(sys.argv) > 1 else "packed"
 
-    # Measured frontier (benchmarks/RESULTS.md): XLA path, NO remat, batch
-    # 256 = 1.63M edges/s is the single-chip best — no-remat avoids the
-    # replay, and with terms resident the XLA backward (reads saved terms)
-    # beats the fused kernel's recompute backward.  The fused kernel +
-    # msi-remat is the recipe when a huge batch forces remat:
-    # HLHGAT_FUSED_DENSE=1 BENCH_REMAT=msi.
+    # Measured regime (benchmarks/RESULTS.md): the XLA path with NO remat
+    # wins at knee-scale batches — with terms resident the XLA backward
+    # (reads saved terms) beats the fused kernel's recompute backward.  The
+    # fused kernel + msi-remat is the recipe only when a huge batch forces
+    # remat: HLHGAT_FUSED_DENSE=1 BENCH_REMAT=msi.
     if mode in ("dense", "packed") and os.environ.get(
         "HLHGAT_FUSED_DENSE", "0"
     ) == "1":
@@ -93,6 +93,26 @@ def main() -> None:
             os.environ.get("BENCH_REMAT", "0")
         ],
     )
+    # Swapped-dW stack-GEMM backward: part of the measured bf16 recipe
+    # (benchmarks/RESULTS.md round 4: 2.160M -> 2.200M at the batch-384
+    # knee; convergence within the seed band on 2 draws).  f32 runs keep
+    # einsum autodiff.  HLHGAT_SWAP_DW=0/1 overrides.
+    from hl_hgat_tpu.nn.gemm import use_swap_dw
+
+    use_swap_dw(os.environ.get(
+        "HLHGAT_SWAP_DW",
+        "1" if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16"
+        else "0",
+    ) == "1")
+    if os.environ.get("BENCH_HEAD_DTYPE"):
+        # mixed-precision readout+MLP head (BackboneConfig.head_dtype)
+        import dataclasses as _dc0
+
+        model = _dc0.replace(
+            model, cfg=_dc0.replace(
+                model.cfg, head_dtype=os.environ["BENCH_HEAD_DTYPE"]
+            ),
+        )
     # stack materialization granularity (models/backbone.py stack_concat):
     # 'layer' = reference formulation, 'block' = concat at width changes,
     # 'never' = pure piece tuples

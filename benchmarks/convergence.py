@@ -33,6 +33,14 @@ def main(argv=None) -> None:
                     help="mixed-precision head (e.g. float32 on a bf16 "
                          "trunk); None follows --dtype")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--channels", default="2,2")
+    ap.add_argument("--filters", default="32,64")
+    ap.add_argument("--k", type=int, default=4)
+    ap.add_argument("--swap_dw", action="store_true",
+                    help="swapped-dW stack-GEMM backward (nn/gemm.py)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="data-generation seed (numeric-perturbation draws "
+                         "for dtype A/Bs)")
     args = ap.parse_args(argv)
 
     import jax
@@ -53,7 +61,7 @@ def main(argv=None) -> None:
     from hl_hgat_tpu.models import BackboneConfig, HLHGCNNGraph
     from hl_hgat_tpu.train import Trainer, TrainerConfig
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(args.seed)
     samples = []
     for _ in range(args.n):
         s = random_simplex_sample(
@@ -83,8 +91,15 @@ def main(argv=None) -> None:
     val_b = to_batches(samples[:n_val])
     train_b = to_batches(samples[n_val:])
 
+    if args.swap_dw:
+        from hl_hgat_tpu.nn.gemm import use_swap_dw
+
+        use_swap_dw(True)
+    channels = tuple(int(x) for x in args.channels.split(","))
+    filters = tuple(int(x) for x in args.filters.split(","))
     model = HLHGCNNGraph(
-        cfg=BackboneConfig(channels=(2, 2), filters=(32, 64), k=4, init_k=4,
+        cfg=BackboneConfig(channels=channels, filters=filters, k=args.k,
+                           init_k=args.k,
                            compute_dtype=args.dtype, remat=args.remat,
                            head_dtype=args.head_dtype),
         mlp_channels=(64,),
@@ -104,7 +119,8 @@ def main(argv=None) -> None:
     print(json.dumps(dict(metric="synthetic_val_mae", value=round(best, 4),
                           label_std=round(float(ys.std()), 4),
                           dtype=args.dtype, remat=args.remat,
-                          head_dtype=args.head_dtype,
+                          head_dtype=args.head_dtype, seed=args.seed,
+                          filters=args.filters, swap_dw=args.swap_dw,
                           ratio=round(best / ys.std(), 3))), flush=True)
 
 

@@ -17,8 +17,16 @@ Exact math: same contractions, f32 accumulation, different association
 only — in float32.  Under ``compute_dtype=bfloat16`` the custom VJP must
 round dx to bf16 after every layer (custom_vjp cotangents carry the primal
 dtype) where einsum autodiff keeps f32 cotangents end-to-end, so grads
-differ by ~3e-3 per layer (tests/test_nn.py); that numerics delta, not
-speed, is why the default stays OFF.
+differ by ~3e-3 per layer (tests/test_nn.py).
+
+Round-4 end-to-end measurements (benchmarks/RESULTS.md): flagship
+2.160M → 2.200M edges/s at the batch-384 knee (+1.9%), and 40-epoch
+bf16 convergence A/Bs on two data seeds land inside the seed-to-seed
+band (seed 0: 0.0860 vs 0.0905 plain; seed 1: 0.1009 vs 0.0980 — the
+per-layer rounding is numerically neutral at this scale).  The MODULE
+default stays OFF (f32 runs keep grads bit-comparable to einsum
+autodiff for the parity/trajectory suites); the bf16 recipes turn it on
+(bench.py, run.py ``--swap_dw auto``).
 """
 
 from __future__ import annotations

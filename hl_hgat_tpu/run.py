@@ -94,6 +94,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="activation compute dtype (accuracy gates default "
                         "to float32; bfloat16 is the throughput recipe)")
+    p.add_argument("--swap_dw", default="auto",
+                   choices=["auto", "0", "1"],
+                   help="swapped-dW stack-GEMM backward (nn/gemm.py): "
+                        "auto = on for bfloat16 (the measured recipe, "
+                        "+1.9%% at the flagship knee; 2-seed convergence "
+                        "within the draw band), off for float32 (keeps "
+                        "grads bit-comparable to einsum autodiff)")
     p.add_argument("--remat", default="0",
                    choices=["0", "1", "msi", "dots"],
                    help="backward rematerialization granularity")
@@ -451,11 +458,26 @@ def run_brain(args) -> None:
         print(f"Fold {fold} best metric: {trainer.best_metric:.4f}")
 
 
+def _apply_swap_dw(args) -> None:
+    """Resolve --swap_dw auto: the swapped-dW backward is part of the
+    measured bf16 recipe (benchmarks/RESULTS.md round 4: +1.9% at the
+    flagship knee, convergence within the seed band on 2 draws); f32 runs
+    keep einsum autodiff for bit-comparable grads."""
+    from hl_hgat_tpu.nn.gemm import use_swap_dw
+
+    if args.swap_dw == "auto":
+        use_swap_dw(args.dtype == "bfloat16")
+    else:
+        use_swap_dw(args.swap_dw == "1")
+
+
 def main(argv=None) -> None:
     args = build_argparser().parse_args(argv)
     if args.benchmark == "brain":
-        apply_brain_defaults(args, argv)
+        apply_brain_defaults(args, argv)  # may re-default --dtype
+        _apply_swap_dw(args)
         return run_brain(args)
+    _apply_swap_dw(args)
     import jax
     import jax.numpy as jnp
 

@@ -142,3 +142,23 @@ class TestCli:
         main(["--benchmark", "tsp", "--data_root", root, "--aug_variants",
               "3", "--save_dir", str(tmp_path / "w")] + TINY)
         assert "Epoch 001" in capsys.readouterr().out
+
+
+def test_swap_dw_auto_follows_dtype(tmp_path):
+    """--swap_dw auto: ON for bfloat16 (the measured recipe), OFF for f32
+    (keeps grads bit-comparable to einsum autodiff for the parity suites)."""
+    import argparse
+
+    from hl_hgat_tpu.nn import gemm
+    from hl_hgat_tpu.run import _apply_swap_dw
+
+    try:
+        for dtype, expect in [("bfloat16", True), ("float32", False)]:
+            args = argparse.Namespace(swap_dw="auto", dtype=dtype)
+            _apply_swap_dw(args)
+            assert gemm.use_swap_dw() is expect, dtype
+        args = argparse.Namespace(swap_dw="0", dtype="bfloat16")
+        _apply_swap_dw(args)
+        assert gemm.use_swap_dw() is False
+    finally:
+        gemm.use_swap_dw(False)
