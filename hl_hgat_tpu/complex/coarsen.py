@@ -168,8 +168,28 @@ def mlgc(
     """
     src, dst = structure.src, structure.dst
     n = structure.num_nodes
-    rep = graclus_cluster(
-        src, dst, edge_weight, n, visit=visit, directed=directed_match)
+    if edge_weight is None and visit is None and not directed_match:
+        # Reference MLGC runs graclus on the L0 SPARSITY PATTERN
+        # (``data.edge_index_t`` — symmetrized, row-major sorted, reference
+        # lib/Hodge_Dataset.py:252), so each node's effective neighbour
+        # order is ASCENDING BY INDEX.  Matching from the canonical
+        # (src<dst) skeleton instead visits neighbours in edge order, which
+        # agrees on many small graphs but diverges on deeper pyramid
+        # levels (caught by the 2-pool ABCD fixture).  Feed the matcher the
+        # same symmetric row-major list; ``directed=True`` because it is
+        # already both-orientation.
+        ss = np.concatenate([src, dst])
+        dd = np.concatenate([dst, src])
+        order = np.lexsort((dd, ss))
+        rep = graclus_cluster(
+            ss[order], dd[order], None, n, directed=True)
+    else:
+        # weighted matching orders neighbours by descending weight
+        # (continuous weights — insertion order is not load-bearing), and
+        # the brain path pins its exact torch-cluster semantics via
+        # ``visit``/``directed_match``
+        rep = graclus_cluster(
+            src, dst, edge_weight, n, visit=visit, directed=directed_match)
     uniq = np.unique(rep)
     remap = {int(r): i for i, r in enumerate(uniq)}
     c_node = np.asarray([remap[int(r)] for r in rep], np.int64)

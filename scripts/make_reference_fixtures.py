@@ -568,6 +568,62 @@ def fixture_model_abcd_attpool():
                     coarse_nodes_per_graph=n_c, coarse_edges_per_graph=e_c)
 
 
+def fixture_model_abcd_attpool2():
+    """The ABCD model's MULTI-pool path: ``pool_loc=[0, 1]`` (the reference
+    ctor takes a LIST, lib/Hodge_ST_Model.py:28,111,141) — two structural
+    pools over a 3-level MLGC pyramid, sigmoid gates from the LAST outputs
+    into the stacks at EACH pool, flatten readout on the level-2 counts."""
+    torch.manual_seed(1050)
+    gen = torch.Generator().manual_seed(1051)
+    T = 24
+    n, extra = 16, 10
+    ei = make_graph(n, extra, seed=75)
+    level0, level1, level2 = [], [], []
+    for _ in range(2):
+        x_t = torch.randn(n, T, generator=gen)
+        x_s = torch.randn(ei.shape[1], 1, generator=gen)
+        d0, d1 = _pyramid_pair(ei, n, x_t, x_s, torch.zeros(1), gen)
+        # second MLGC level with its own cluster column (reference
+        # lib/Hodge_Dataset.py:525-526 layout applied per level)
+        d2, c_n1, c_e1 = MLGC(d1)
+        d1.x_t = torch.cat([c_n1, d1.x_t], dim=-1)
+        d1.x_s = torch.cat([c_e1, d1.x_s], dim=-1)
+        level0.append(d0)
+        level1.append(d1)
+        level2.append(d2)
+    datas = [Batch.from_data_list(level0), Batch.from_data_list(level1),
+             Batch.from_data_list(level2)]
+    n_c = int(datas[2].num_node1[0])
+    e_c = int(datas[2].num_edge1[0])
+    # pools must sit at NON-final blocks: the readout consumes the last
+    # conv outputs (x_t/x_s), and a pool at the final block only moves the
+    # dead x_t0 stack — so 3 blocks, pools after blocks 0 and 1
+    model = ref_models.HL_HGCNN_ABCD_dense_int3_attpool(
+        channels=[2, 2, 2], filters=[8, 16, 16], mlp_channels=[8], K=2,
+        node_dim=32, edge_dim=1, keig=0, pool_loc=[0, 1], num_classes=1,
+        num_nodepedge=n_c + e_c,
+    )
+    _randomize_bn_stats(model, gen)
+    model.eval()
+    with torch.no_grad():
+        out = model(datas, device="cpu")
+    b0, b1, b2 = datas
+    save("model_abcd_attpool2", out=out,
+         num_node1=b0.num_node1, num_edge1=b0.num_edge1,
+         num_node1_c=b1.num_node1, num_edge1_c=b1.num_edge1,
+         num_node1_c2=b2.num_node1, num_edge1_c2=b2.num_edge1,
+         coarse_nodes_per_graph=n_c, coarse_edges_per_graph=e_c,
+         **_batch_arrays(b0, ["x_t", "x_s", "edge_index_t", "edge_weight_t",
+                              "edge_index_s", "edge_weight_s", "edge_index"]),
+         **{f"in_c/{k}": getattr(b1, k)
+            for k in ["x_t", "x_s", "edge_index_t", "edge_weight_t",
+                      "edge_index_s", "edge_weight_s", "edge_index"]},
+         **{f"in_c2/{k}": getattr(b2, k)
+            for k in ["x_t", "x_s", "edge_index_t", "edge_weight_t",
+                      "edge_index_s", "edge_weight_s", "edge_index"]},
+         **_sd(model))
+
+
 # ---------------------------------------------------------------------------
 # gradient fixtures — torch autograd through the reference backward
 # (reference lib/Hodge_Cheb_Conv.py:494-519 traverses the same SpMMs)
@@ -1114,6 +1170,7 @@ if __name__ == "__main__":
     fixture_model_cifar_pyr()
     fixture_model_pepfunc_pyr()
     fixture_model_abcd_attpool()
+    fixture_model_abcd_attpool2()
     fixture_grad_zinc_pyr()
     fixture_grad_tsp_pyr()
     fixture_grad_zinc_attpool()
