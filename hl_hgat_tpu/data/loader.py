@@ -171,7 +171,69 @@ class BucketedLoader:
             from hl_hgat_tpu.data.fast_collate import FlatSamples
 
             self._flat = FlatSamples(list(self.samples))
+            # Per-bucket PINNED caps for the compact/derived transfer.
+            # Without pins the per-batch rounding (nnz to 2048, blocks to
+            # 16) flips jit shapes whenever a shuffle straddles a quantum
+            # boundary — measured 14-40 s "epochs" of recompiles through
+            # the tunnel vs 0.23-0.31 s pinned.  Pins are seeded from the
+            # first batch of each bucket with a ~6% + one-quantum margin
+            # (batch sums concentrate to ±2-3% across shuffles) and
+            # RATCHET up on the rare exceed (one recompile, then stable).
+            self._compact_pins: dict[int, dict] = {}
+            if self.transfer in ("compact", "derived"):
+                # per-sample valid pool-entry counts (cn/ce >= 0)
+                self._pool_valid = []
+                def _seg_counts(flags, off):
+                    c = np.concatenate(
+                        [[0], np.cumsum(flags.astype(np.int64))]
+                    )
+                    return c[off[1:]] - c[off[:-1]]
+
+                for lv in range(self._flat.depth - 1):
+                    self._pool_valid.append((
+                        _seg_counts(self._flat.c_node[lv] >= 0,
+                                    self._flat.cn_off[lv]),
+                        _seg_counts(self._flat.c_edge[lv] >= 0,
+                                    self._flat.ce_off[lv]),
+                    ))
         self._epoch = 0
+
+    def _compact_caps(self, bucket: int, idx: np.ndarray, n_bins: int):
+        """Pinned (num_blocks, nnz_caps, pool_caps) for one batch."""
+        rnd = lambda x, m: max(-(-int(x) // m) * m, m)  # noqa: E731
+        need = {"blocks": n_bins, "nnz": [], "pool": []}
+        for lv in range(self._flat.depth):
+            fl = self._flat.levels[lv]
+            need["nnz"].append((
+                int((fl.l0_off[idx + 1] - fl.l0_off[idx]).sum()),
+                int((fl.l1_off[idx + 1] - fl.l1_off[idx]).sum()),
+                int((fl.e_off[idx + 1] - fl.e_off[idx]).sum()),
+            ))
+        for t, s in self._pool_valid:
+            need["pool"].append(max(int(t[idx].sum()), int(s[idx].sum())))
+        pins = self._compact_pins.get(bucket)
+        margin = lambda x, m: rnd(x + max(x // 16, m // 2), m)  # noqa: E731
+        if pins is None:
+            pins = {
+                "blocks": rnd(need["blocks"] + 4, 4),
+                "nnz": [tuple(margin(x, 2048) for x in tri)
+                        for tri in need["nnz"]],
+                "pool": [margin(x, 2048) for x in need["pool"]],
+            }
+            self._compact_pins[bucket] = pins
+        else:  # ratchet any exceeded field
+            if need["blocks"] > pins["blocks"]:
+                pins["blocks"] = rnd(need["blocks"] + 4, 4)
+            pins["nnz"] = [
+                tuple(margin(x, 2048) if x > c else c
+                      for x, c in zip(tri, cur))
+                for tri, cur in zip(need["nnz"], pins["nnz"])
+            ]
+            pins["pool"] = [
+                margin(x, 2048) if x > c else c
+                for x, c in zip(need["pool"], pins["pool"])
+            ]
+        return pins["blocks"], pins["nnz"], pins["pool"]
 
     @property
     def pad_specs(self) -> list[list[LevelPad]]:
@@ -223,9 +285,15 @@ class BucketedLoader:
                     m = self._block_multiple
                     depth = len(self.samples[0].levels)
                     kw = {}
+                    num_blocks = -(-len(bins) // m) * m
                     if self.transfer in ("compact", "derived"):
                         fn = collate_packed_compact
                         kw["pack_rows"] = self.pack_feature_rows
+                        # pinned static caps (see __post_init__): one jit
+                        # shape per bucket instead of per-quantum flips
+                        num_blocks, kw["nnz_caps"], kw["pool_caps"] = (
+                            self._compact_caps(b, idx, len(bins))
+                        )
                         if self.pack_feature_rows:
                             # static per-bucket row caps: per-batch rounding
                             # would flip shapes across shuffles and recompile
@@ -247,7 +315,7 @@ class BucketedLoader:
                         edge_cap=self.edge_cap,
                         y_per_edge=self.y_per_edge,
                         bins=bins,
-                        num_blocks=-(-len(bins) // m) * m,
+                        num_blocks=num_blocks,
                         # coarse levels are strictly smaller than the fine
                         # level, so the level-0 caps are a safe static bound
                         level_caps=[(self.node_cap, self.edge_cap)]

@@ -196,13 +196,22 @@ def cifar10sp_attpool(
 
 def abcd_attpool(
     channels=(2, 2, 2), filters=(64, 128, 256), k=2, dropout=0.0,
-    mlp_channels=(), nodes_per_graph=0, edges_per_graph=0,
+    mlp_channels=(), nodes_per_graph=0, edges_per_graph=0, pool_num=1,
 ):
+    """``pool_num`` mirrors the reference ctor's ``pool_loc`` LIST
+    (lib/Hodge_ST_Model.py:28): pools after blocks 0..pool_num−1 — they
+    must sit at non-final blocks (a last-block pool only moves the dead
+    stack; the readout consumes the last conv outputs).  The 2-pool path
+    is pinned against the executed reference (model_abcd_attpool2)."""
+    if pool_num >= len(channels):
+        raise ValueError(
+            f"pool_num {pool_num} needs non-final pools; model has "
+            f"{len(channels)} blocks")
     cfg = BackboneConfig(
         channels=tuple(channels), filters=tuple(filters), k=k, init_k=k,
         act="leaky_relu", dropout=dropout, deg_eps=1e-6,
-        pool_locs=(0,), att_sigma="sigmoid", gate_input="last",
-        gate_target="stack",
+        pool_locs=tuple(range(pool_num)), att_sigma="sigmoid",
+        gate_input="last", gate_target="stack",
         stack_concat="layer",  # pooled family: measured faster than "block"
     )
     return HLHGCNNAbcd(

@@ -220,6 +220,27 @@ class TestBrain:
         val, leaves = loss_and_grads(model, variables, batch)
         assert np.isfinite(float(val))
 
+    def test_abcd_attpool_two_pools(self):
+        """ABCD 2-pool variant (reference pool_loc=[0,1] list,
+        lib/Hodge_ST_Model.py:28,111,141) at brain-like scale: forward +
+        grads through both structural pools; the flatten head reads the
+        level-2 counts.  Semantics pinned by model_abcd_attpool2."""
+        batch, n_f, e_f = synthetic_brain_batch(3, n_rois=48, t_len=32,
+                                                num_pool=2)
+        batch = to_device(batch)
+        model, _ = presets.abcd_attpool(
+            channels=(1, 1, 1), filters=(8, 8, 16), k=2, pool_num=2,
+            nodes_per_graph=n_f, edges_per_graph=e_f, mlp_channels=(8,),
+        )
+        variables, out = init_and_forward(model, batch)
+        assert out.shape == (3, 1)
+        val, leaves = loss_and_grads(model, variables, batch)
+        assert np.isfinite(float(val))
+        assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+        with pytest.raises(ValueError):
+            presets.abcd_attpool(channels=(1, 1), filters=(8, 16),
+                                 pool_num=2)
+
     def test_hgat_attpool_returns_quadruple(self):
         batch, n_f, e_f = synthetic_brain_batch(2, n_rois=24, t_len=32,
                                                 num_pool=2)
