@@ -459,14 +459,19 @@ def run_brain(args) -> None:
 
 
 def _apply_swap_dw(args) -> None:
-    """Resolve --swap_dw auto: the swapped-dW backward is part of the
-    measured bf16 recipe (benchmarks/RESULTS.md round 4: +1.9% at the
-    flagship knee, convergence within the seed band on 2 draws); f32 runs
-    keep einsum autodiff for bit-comparable grads."""
+    """Resolve --swap_dw auto per the measured per-family A/B
+    (benchmarks/RESULTS.md round 4): the swapped-dW backward wins on the
+    molecular packed family (flagship zinc +1.9% at the batch-384 knee;
+    pooled attpool neutral) but LOSES ~2% on the banded TSP layout
+    (1.605M → 1.572M) and the shared-skeleton brain layout
+    (6.754M → 6.604M), whose GEMM shapes differ.  auto = on for bfloat16
+    except those two benchmarks; f32 always keeps einsum autodiff for
+    bit-comparable grads."""
     from hl_hgat_tpu.nn.gemm import use_swap_dw
 
     if args.swap_dw == "auto":
-        use_swap_dw(args.dtype == "bfloat16")
+        use_swap_dw(args.dtype == "bfloat16"
+                    and args.benchmark not in ("brain", "tsp"))
     else:
         use_swap_dw(args.swap_dw == "1")
 

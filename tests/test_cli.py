@@ -153,11 +153,18 @@ def test_swap_dw_auto_follows_dtype(tmp_path):
     from hl_hgat_tpu.run import _apply_swap_dw
 
     try:
-        for dtype, expect in [("bfloat16", True), ("float32", False)]:
-            args = argparse.Namespace(swap_dw="auto", dtype=dtype)
+        for bench, dtype, expect in [
+            ("zinc", "bfloat16", True), ("zinc", "float32", False),
+            ("cifar10sp", "bfloat16", True),
+            # measured ~2% losses on the banded/shared layouts
+            ("tsp", "bfloat16", False), ("brain", "bfloat16", False),
+        ]:
+            args = argparse.Namespace(swap_dw="auto", dtype=dtype,
+                                      benchmark=bench)
             _apply_swap_dw(args)
-            assert gemm.use_swap_dw() is expect, dtype
-        args = argparse.Namespace(swap_dw="0", dtype="bfloat16")
+            assert gemm.use_swap_dw() is expect, (bench, dtype)
+        args = argparse.Namespace(swap_dw="0", dtype="bfloat16",
+                                  benchmark="zinc")
         _apply_swap_dw(args)
         assert gemm.use_swap_dw() is False
     finally:
