@@ -155,15 +155,20 @@ class BucketedLoader:
             )
             self._filler.append(self.samples[best])
             self._filler_idx.append(best)
-        # packed layout: static per-bucket block cap — worst-case packing is
-        # bounded by next-fit's guarantee (each bin ≥ half full except the
-        # last per resource), so 2·(worst totals / cap) + 1 always suffices;
-        # the actual packer result is asserted against this at iter time.
+        # packed layout: static per-bucket block cap — the packer is
+        # first-fit-decreasing (complex/dense.py::pack_plan and the C++
+        # pack_indices agree assignment-for-assignment), and any "any-fit"
+        # packer leaves at most ONE bin ≤ half full per resource (a new bin
+        # opens only when the item fits no open bin), so
+        # 2·(worst totals / cap) + 1 still bounds the block count; a batch
+        # exceeding its static pad raises a loud ValueError at iter time.
         if self.layout == "dense_packed":
-            # Emitted block count = actual packing rounded up to a multiple
-            # of 16: absorbs shuffle-to-shuffle variance so the jitted step
-            # sees one or two distinct shapes per bucket, without paying the
-            # worst-case bin-packing bound in empty blocks every batch.
+            # Emitted block count: on the plain packed path the actual FFD
+            # result is rounded up to a multiple of 16 per batch (absorbs
+            # shuffle variance → one or two jit shapes per bucket).  The
+            # compact/derived transfer path instead uses PINNED per-bucket
+            # caps from _compact_caps (+4 margin rounded to 4, ratcheting
+            # on the rare exceed) — exactly ONE jit signature per bucket.
             self._block_multiple = 16
             # flatten once for the native per-epoch collate
             # (data/fast_collate.py; transparently falls back to the NumPy

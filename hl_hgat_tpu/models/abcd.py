@@ -14,7 +14,12 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from hl_hgat_tpu.complex.batch import ComplexBatch
-from hl_hgat_tpu.models.backbone import BackboneConfig, MLPHead, make_backbone
+from hl_hgat_tpu.models.backbone import (
+    BackboneConfig,
+    MLPHead,
+    head_cast,
+    make_backbone,
+)
 from hl_hgat_tpu.nn.conv import LaguerreConv
 from hl_hgat_tpu.nn.inception import Inception1D
 
@@ -73,9 +78,10 @@ class HLHGCNNAbcd(nn.Module):
             x_t, batch.x_s, batch, deterministic
         )
         level = batch.levels[feats["level_idx"]]
+        f_t, f_s = head_cast(self.cfg, feats["x_t"], feats["x_s"])
         # K=1 conv readout to one channel per simplex (reference :86-91)
-        r_t = LaguerreConv(1, 1, name="readout_node")(feats["x_t"], level.l0)
-        r_s = LaguerreConv(1, 1, name="readout_edge")(feats["x_s"], level.l1)
+        r_t = LaguerreConv(1, 1, name="readout_node")(f_t, level.l0)
+        r_s = LaguerreConv(1, 1, name="readout_edge")(f_s, level.l1)
         x = jnp.concatenate(
             [
                 flatten_per_graph(r_s, batch.num_graphs, self.edges_per_graph),

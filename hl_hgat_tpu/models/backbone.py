@@ -78,12 +78,20 @@ class BackboneConfig:
     compute_dtype: str = "float32"
     # Mixed-precision head: dtype of the readout + MLP-head computation.
     # None follows compute_dtype.  "float32" on a bf16 trunk casts the
-    # final features up BEFORE the segment-mean readout, so the pooled
-    # vector, the MLP and the output layer all run in f32 — the measured
-    # mitigation for the bf16 regression-MAE penalty at ~zero step cost
-    # (benchmarks/RESULTS.md round 4; the head is [G, C]-sized, a
-    # negligible share of the step's bytes).
+    # final backbone features up BEFORE the readout, so the pooled
+    # vector / readout convs / MLP / output layer all run in f32 — a
+    # measured-neutral option at ~zero step cost (benchmarks/RESULTS.md
+    # round 4; the head is [G, C]-sized, a negligible share of the step's
+    # bytes).  Honored by EVERY model family: graph (segment-mean + MLP),
+    # node / TSP edge (readout K=1 convs), link-pred (pair MLP), and ABCD
+    # (readout convs + flatten head) — see ``head_cast``.
     head_dtype: str | None = None
+    # Swapped-dW stack-GEMM backward (nn/gemm.py): None follows the
+    # process default (use_swap_dw(), set once by run.py/bench.py before
+    # tracing); True/False pin the choice for THIS model's trace via
+    # swap_dw_scope, so it is part of module config and trace-stable —
+    # a bf16 trainer and an f32 parity eval can coexist in one process.
+    swap_dw: bool | None = None
     # rematerialize layers in the backward pass (per-layer nn.remat):
     #   True  — remat both MSI and conv pairs: residuals shrink from every
     #           layer's Laguerre term pyramid to the layer inputs; unlocks
@@ -132,6 +140,18 @@ class DenseInt3Backbone(nn.Module):
     ):
         # ``deterministic`` is positional-friendly so make_backbone can mark
         # it static under nn.remat (static_argnums=(4,))
+        from hl_hgat_tpu.nn.gemm import swap_dw_scope
+
+        with swap_dw_scope(self.cfg.swap_dw):
+            return self._forward(x_t, x_s, batch, deterministic)
+
+    def _forward(
+        self,
+        x_t: Array,
+        x_s: Array,
+        batch: ComplexBatch,
+        deterministic: bool = False,
+    ):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
         x_t = x_t.astype(dtype)
@@ -311,6 +331,19 @@ def make_backbone(cfg: BackboneConfig, name: str = "backbone"):
     return DenseInt3Backbone(cfg, name=name)
 
 
+def head_cast(cfg: BackboneConfig, *arrays: Array):
+    """Cast final backbone features to ``cfg.head_dtype`` (no-op when None).
+
+    Every model family routes its readout inputs through this, so
+    ``--head_dtype float32`` means the same thing on graph, node, TSP,
+    link-pred, and ABCD heads (round-4 advisor finding: it used to be
+    honored only by ``HLHGCNNGraph``)."""
+    if cfg.head_dtype is not None:
+        hd = jnp.dtype(cfg.head_dtype)
+        arrays = tuple(a.astype(hd) for a in arrays)
+    return arrays if len(arrays) > 1 else arrays[0]
+
+
 class MLPHead(nn.Module):
     """Linear→BN→act→dropout stack + output Linear (reference
     lib/Hodge_ST_Model.py:595-605)."""
@@ -387,10 +420,7 @@ class HLHGCNNGraph(nn.Module):
             x_t, x_s, batch, deterministic
         )
         level = batch.levels[feats["level_idx"]]
-        f_t, f_s = feats["x_t"], feats["x_s"]
-        if self.cfg.head_dtype is not None:
-            hd = jnp.dtype(self.cfg.head_dtype)
-            f_t, f_s = f_t.astype(hd), f_s.astype(hd)
+        f_t, f_s = head_cast(self.cfg, feats["x_t"], feats["x_s"])
         pooled = jnp.concatenate(
             [
                 masked_mean_edges(level, f_s, batch.num_graphs),
@@ -432,7 +462,7 @@ class HLHGCNNNode(nn.Module):
         feats = make_backbone(self.cfg)(
             batch.x_t, batch.x_s, batch, deterministic
         )
-        x_t, x_s = feats["x_t"], feats["x_s"]
+        x_t, x_s = head_cast(self.cfg, feats["x_t"], feats["x_s"])
         from hl_hgat_tpu.ops.dispatch import abs_b1_s2t
 
         deg = level.deg + self.cfg.deg_eps
@@ -473,7 +503,7 @@ class HLHGCNNLinkPred(nn.Module):
         feats = make_backbone(self.cfg)(
             batch.x_t, batch.x_s, batch, deterministic
         )
-        h = feats["x_t"]
+        h = head_cast(self.cfg, feats["x_t"])
         hu = jnp.take(h, pairs[:, 0].astype(jnp.int32), axis=0)
         hv = jnp.take(h, pairs[:, 1].astype(jnp.int32), axis=0)
         z = jnp.concatenate([hu, hv, hu * hv], axis=-1)
@@ -504,7 +534,7 @@ class HLHGCNNTsp(nn.Module):
         feats = make_backbone(self.cfg)(
             batch.x_t, x_s, batch, deterministic
         )
-        x_t, x_s = feats["x_t"], feats["x_s"]
+        x_t, x_s = head_cast(self.cfg, feats["x_t"], feats["x_s"])
         # abs AFTER the product (reference lib/Hodge_ST_Model.py:848)
         x_t2s = jnp.abs(b1_t2s(level, x_t)) / 2.0
         x_s = jnp.concatenate([x_s, x_t2s], axis=-1)

@@ -31,6 +31,7 @@ autodiff for the parity/trajectory suites); the bf16 recipes turn it on
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import jax
@@ -39,14 +40,41 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 _swap_dw_flag = os.environ.get("HLHGAT_SWAP_DW", "0") == "1"
+_swap_dw_override: bool | None = None
 
 
 def use_swap_dw(enable: bool | None = None) -> bool:
-    """Get/set the swapped-dW backward for stack GEMMs."""
+    """Get/set the PROCESS DEFAULT for the swapped-dW stack-GEMM backward.
+
+    The default is read at trace time, so flipping it after a step has
+    been jitted does not retrace — set it once before tracing (run.py
+    ``--swap_dw auto`` does), or prefer the trace-stable per-model route:
+    ``BackboneConfig.swap_dw``, which the backbone pins for its whole
+    trace via :func:`swap_dw_scope` (round-4 advisor finding — two models
+    in one process, e.g. a bf16 trainer plus an f32 parity eval, can then
+    carry different settings)."""
     global _swap_dw_flag
     if enable is not None:
         _swap_dw_flag = enable
-    return _swap_dw_flag
+    return _swap_dw_flag if _swap_dw_override is None else _swap_dw_override
+
+
+@contextlib.contextmanager
+def swap_dw_scope(enable: bool | None):
+    """Pin the swapped-dW choice for the enclosed trace.
+
+    ``None`` leaves the process default in force.  Used by
+    ``DenseInt3Backbone`` with ``cfg.swap_dw``: the choice becomes part of
+    module config, so it is trace-stable — whenever the model (and thus
+    its config) differs, the jit cache entry differs with it."""
+    global _swap_dw_override
+    prev = _swap_dw_override
+    if enable is not None:
+        _swap_dw_override = enable
+    try:
+        yield
+    finally:
+        _swap_dw_override = prev
 
 
 @jax.custom_vjp

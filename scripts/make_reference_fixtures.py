@@ -1145,6 +1145,102 @@ def fixture_traj_cifar_attpool():
          **init_sd)
 
 
+def fixture_traj_pepfunc():
+    """Training-trajectory oracle for the PEPFUNC family (VERDICT r4 item
+    2) — the last model family without an optimization-level A/B and the
+    most numerically distinctive loop: FocalLoss ×1e4 on NaN-masked
+    multilabel targets, macro-AP eval, and ReduceLROnPlateau(mode='max')
+    stepped on validation AP (reference
+    main_pepfunc_HL_HGCNN_dense_int3_attpool.py:175-296: zero_grad →
+    forward(if_att=True) → criterion(out[mask], y[mask]) → backward →
+    step; scheduler.step(valid_acc) with mode='max').  The SCRIPT model
+    variant (att-every-block sigmoid λ=0.5 gates on the stacks,
+    :133-136).  patience 3 / threshold 1e-3 as in the other trajectory
+    fixtures so the max-mode scheduler fires within 40 epochs; a few
+    labels are NaN so the isnan-mask path is exercised end to end."""
+    from lib.Hodge_Dataset import eval_ap
+    from lib.Loss_function import FocalLoss
+
+    cls = _load_pepfunc_script_model()
+    torch.manual_seed(4300)
+    node_dim, edge_dim, keig = 4, 2, 3
+    num_classes = 6
+    gen = torch.Generator().manual_seed(4301)
+    level0, level1 = [], []
+    sizes = [(10, 4), (8, 3), (13, 6), (9, 4), (11, 5), (12, 4),
+             (10, 5), (8, 4), (14, 6), (9, 3), (11, 4), (10, 3)]
+    for gi, (n, extra) in enumerate(sizes):
+        ei = make_graph(n, extra, seed=4400 + gi)
+        x_t = torch.randn(n, node_dim + keig, generator=gen)
+        x_s = torch.randn(ei.shape[1], edge_dim + keig, generator=gen)
+        y = (torch.rand(1, num_classes, generator=gen) > 0.6).float()
+        # NaN-mask a sprinkling of labels (the LRGB peptides sets carry
+        # unlabeled tasks; the script masks them, main_pepfunc...py:178)
+        nan_mask = torch.rand(1, num_classes, generator=gen) < 0.1
+        y[nan_mask] = float("nan")
+        d0, d1 = _pyramid_pair(ei, n, x_t, x_s, y, gen)
+        level0.append(d0)
+        level1.append(d1)
+    batch_size, epochs = 4, 40
+    batches = [[Batch.from_data_list(level0[i:i + batch_size]),
+                Batch.from_data_list(level1[i:i + batch_size])]
+               for i in range(0, len(level0), batch_size)]
+    full = [Batch.from_data_list(level0), Batch.from_data_list(level1)]
+
+    model = cls(
+        channels=[2, 2], filters=[8, 16], mlp_channels=[8], K=2,
+        node_dim=node_dim, edge_dim=edge_dim, keig=keig, pool_loc=0,
+        num_classes=num_classes, dropout_ratio=0.0, dropout_ratio_mlp=0.0,
+    )
+    init_sd = {f"sd/{k}": v.detach().numpy().copy()
+               for k, v in model.state_dict().items()}
+    criterion = FocalLoss()
+    optimizer = torch.optim.Adam(model.parameters(), lr=1e-3,
+                                 weight_decay=1e-3)
+    scheduler = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        optimizer, mode="max", patience=3, factor=0.5, min_lr=1e-6,
+        threshold=1e-3)
+    train_losses, valid_losses, valid_aps, lrs = [], [], [], []
+    for _ in range(epochs):
+        model.train()
+        total, count = 0.0, 0
+        for b in batches:
+            optimizer.zero_grad()
+            y = b[0].y
+            mask = ~torch.isnan(y)
+            out, att_t, att_s = model(b, device="cpu", if_att=True)
+            loss = criterion(out[mask], y[mask])
+            loss.backward()
+            optimizer.step()
+            g = int(b[0].num_node1.shape[0])
+            total += float(loss) * g
+            count += g
+        train_losses.append(total / count)
+        model.eval()
+        with torch.no_grad():
+            out, att_t, att_s = model(full, device="cpu", if_att=True)
+            y = full[0].y
+            mask = ~torch.isnan(y)
+            vloss = float(criterion(out[mask], y[mask]))
+            ap = float(eval_ap(y_true=y, y_pred=out))
+        valid_losses.append(vloss)
+        valid_aps.append(ap)
+        scheduler.step(ap)
+        lrs.append(optimizer.param_groups[0]["lr"])
+
+    b0, b1 = full
+    save("traj_pepfunc",
+         train_losses=np.asarray(train_losses),
+         valid_losses=np.asarray(valid_losses),
+         valid_aps=np.asarray(valid_aps), lrs=np.asarray(lrs),
+         num_node1=b0.num_node1, num_edge1=b0.num_edge1,
+         num_node1_c=b1.num_node1, num_edge1_c=b1.num_edge1,
+         y=b0.y, batch_size=np.asarray(batch_size),
+         **_batch_arrays(b0, ["x_t", "x_s", "edge_index_t", "edge_weight_t",
+                              "edge_index_s", "edge_weight_s", "edge_index"]),
+         **init_sd)
+
+
 if __name__ == "__main__":
     import sys as _sys
 
@@ -1181,4 +1277,5 @@ if __name__ == "__main__":
     fixture_traj_zinc(seed_base=2000, name="traj_zinc_s2")
     fixture_traj_tsp()
     fixture_traj_cifar_attpool()
+    fixture_traj_pepfunc()
     print("reference fixtures complete")
