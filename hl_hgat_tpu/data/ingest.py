@@ -224,6 +224,14 @@ def load_samples(
 
         lrgb_name = "PascalVOC-SP" if benchmark == "pascalvoc" else "COCO-SP"
         samples = list(iter_lrgb(root, lrgb_name, split, keig=keig))
+    elif benchmark == "pcqm":
+        # beyond-reference PCQM-Contact link prediction: the loader's
+        # edge_label_index/edge_label raw fields (reference
+        # lib/LRGBDataset.py:81-95) ride GraphSample.extra and feed the
+        # batch-level queries (complex/build.py attach_link_pairs)
+        from hl_hgat_tpu.data.lrgb import iter_lrgb
+
+        samples = list(iter_lrgb(root, "pcqm-contact", split, keig=keig))
     else:
         raise ValueError(f"unknown benchmark {benchmark!r}")
     if cache:

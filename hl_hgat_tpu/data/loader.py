@@ -71,6 +71,12 @@ class BucketedLoader:
     # BIT-IDENTICAL results (host ml_dtypes and the device cast both round
     # to nearest even).  Keep float32 when the model computes in float32.
     feature_dtype: str = "float32"
+    # Link-prediction query attachment (PCQM-Contact, COO layout only):
+    # (n_queries, n_neg) per graph — each batch gains batch-carried
+    # ``pairs``/``pair_mask`` and per-pair ``y`` labels re-rolled each
+    # epoch (complex/build.py attach_link_pairs).  Static shapes: every
+    # batch yields G·n_queries·(1+n_neg) pair rows.
+    link_queries: tuple[int, int] | None = None
     # fill short final batches with the bucket's smallest sample to keep
     # num_graphs static (one jit shape; duplicates bias only the final
     # partial batch).  Set False for EXACT evaluation metrics — the final
@@ -331,11 +337,25 @@ class BucketedLoader:
                     batch_samples = [self.samples[j] for j in chunk] + [
                         self._filler[b]
                     ] * n_fill
-                    yield self._cast_features(collate(
+                    batch = self._cast_features(collate(
                         batch_samples, self._pads[b],
                         y_per_edge=self.y_per_edge,
                         y_per_node=self.y_per_node,
                     ))
+                    if self.link_queries is not None:
+                        from hl_hgat_tpu.complex.build import (
+                            attach_link_pairs,
+                        )
+
+                        nq, nneg = self.link_queries
+                        batch = attach_link_pairs(
+                            batch, batch_samples,
+                            np.random.default_rng(
+                                self.seed * 100003 + ep * 131 + i
+                            ),
+                            n_queries=nq, n_neg=nneg,
+                        )
+                    yield batch
 
     def _cast_features(self, batch):
         if self.feature_dtype == "float32":

@@ -495,11 +495,20 @@ class HLHGCNNLinkPred(nn.Module):
     def __call__(
         self,
         batch: ComplexBatch,
-        pairs: Array,
-        pair_mask: Array,
+        pairs: Array | None = None,
+        pair_mask: Array | None = None,
         *,
         deterministic: bool = False,
     ):
+        if pairs is None:
+            # batch-carried pairs (complex/build.py attach_link_pairs) —
+            # the Trainer path, which knows only ComplexBatch
+            pairs, pair_mask = batch.pairs, batch.pair_mask
+        if pairs is None:
+            raise ValueError(
+                "HLHGCNNLinkPred needs pairs: pass them explicitly or "
+                "attach them to the batch (attach_link_pairs)"
+            )
         feats = make_backbone(self.cfg)(
             batch.x_t, batch.x_s, batch, deterministic
         )

@@ -279,10 +279,13 @@ def pcqm_link(
     channels=(2, 2, 2), filters=(64, 128, 256), k=4, dropout=0.1,
     mlp_channels=(128,),
 ):
-    """EXPERIMENTAL (beyond-reference, no CLI loop): the pair-input
-    signature doesn't ride ``ComplexBatch``, so training runs through a
-    custom step — see ``benchmarks/convergence_tasks.py --task link_pred``
-    for the MRR convergence proxy and the step pattern."""
+    """Beyond-reference PCQM-Contact head (the reference ships the loader's
+    edge_label fields, lib/LRGBDataset.py:81-95, but no model): query pairs
+    ride the batch (``ComplexBatch.pairs``/``pair_mask`` + per-pair ``y``,
+    attached by ``BucketedLoader(link_queries=...)``), so the standard
+    ``Trainer`` fit/test loop applies — ``run.py --benchmark pcqm`` with
+    MRR eval; convergence proxy in
+    ``benchmarks/convergence_tasks.py --task link_pred``."""
     from hl_hgat_tpu.models.backbone import HLHGCNNLinkPred
 
     cfg = BackboneConfig(

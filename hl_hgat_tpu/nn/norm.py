@@ -83,10 +83,16 @@ class MaskedBatchNorm(nn.Module):
                     (1 - self.momentum) * ra_var.value + self.momentum * unbiased
                 )
 
-        y = (x.astype(jnp.float32) - mean) * jnp.reciprocal(
-            jnp.sqrt(var + self.eps)
-        )
-        y = y * scale + offset
+        # Folded affine apply: y = x·a + b with a = γ/√(var+ε) and
+        # b = β − μ·a precomputed per channel — one fused multiply-add per
+        # element instead of the (x−μ)·inv·γ+β chain (the BN apply/accum
+        # fusion class ran at ~4.8× its bandwidth floor in the round-4
+        # rollup; the per-channel prework is [C]-sized, free).  Same math
+        # reassociated (~1-ulp f32 drift vs torch's ordering; parity
+        # fixtures assert 1e-4).
+        a = scale * jnp.reciprocal(jnp.sqrt(var + self.eps))
+        b = offset - mean * a
+        y = x.astype(jnp.float32) * a + b
         if mask is not None:
             y = y * mask.reshape(
                 mask.shape + (1,) * (x.ndim - mask.ndim)

@@ -22,7 +22,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--benchmark", default="zinc",
                    choices=["zinc", "pepfunc", "tsp", "cifar10sp", "brain",
-                            "pascalvoc", "coco"])
+                            "pascalvoc", "coco", "pcqm"])
     p.add_argument("--c1", type=int, default=2)
     p.add_argument("--c2", type=int, default=3)
     p.add_argument("--c3", type=int, default=3)
@@ -183,6 +183,11 @@ BENCH_SETTINGS = {
                       save_gate=None, patience=10, pe_static=(14, 2)),
     "coco": dict(task="node_classification", metric_mode="max",
                  save_gate=None, patience=10, pe_static=(14, 2)),
+    # beyond-reference PCQM-Contact link prediction (the reference ships
+    # the loader's edge_label fields, lib/LRGBDataset.py:81-95, but no
+    # model or loop); metric = MRR over (1 pos, 8 neg) query groups
+    "pcqm": dict(task="link_prediction", metric_mode="max", save_gate=None,
+                 patience=10, pe_static=(6, 4)),
 }
 
 
@@ -212,6 +217,10 @@ def make_model(args):
         return fn(channels=channels, filters=filters, k=args.K,
                   dropout=args.dropout_ratio,
                   mlp_channels=mlp[:1] or (128,))
+    if args.benchmark == "pcqm":
+        return presets.pcqm_link(channels=channels, filters=filters,
+                                 k=args.K, dropout=args.dropout_ratio,
+                                 mlp_channels=mlp[:1] or (128,))
     return presets.cifar10sp_attpool(
         channels=channels, filters=filters, k=args.K,
         dropout=args.dropout_ratio, mlp_channels=mlp or (256,),
@@ -264,6 +273,14 @@ def synthetic_samples(args, seed: int):
             s.y = np.argmax(
                 s.x_t[:, :14] @ label_w, axis=1
             ).astype(np.float32).reshape(-1, 1)
+        elif args.benchmark == "pcqm":
+            # link-prediction proxy: adjacency is recoverable from the
+            # eig-PE columns (benchmarks/convergence_tasks.py run_link);
+            # per-batch query pairs come from the loader (link_queries)
+            s = random_simplex_sample(
+                rng, n_nodes=int(rng.integers(14, 30)), node_feat=6,
+                edge_feat=4, keig=6,
+            )
         else:
             s = random_simplex_sample(
                 rng, n_nodes=int(rng.integers(20, 60)), node_feat=9,
@@ -596,8 +613,11 @@ def main(argv=None) -> None:
                     train_s = train_s[n_val * a :]
         y_per_edge = settings["task"] == "edge_binary"
         y_per_node = settings["task"] == "node_classification"
-        if y_per_node:
-            layout = "coo"  # packed collators do not carry node labels
+        link_task = settings["task"] == "link_prediction"
+        if y_per_node or link_task:
+            # packed collators carry neither node labels nor flat-row pair
+            # indices (the packer reorders node rows into superblocks)
+            layout = "coo"
         else:
             layout = resolve_layout(
                 args.layout, list(train_s) + list(val_s),
@@ -608,6 +628,7 @@ def main(argv=None) -> None:
         make_loader = lambda ss, sh, **lkw: BucketedLoader(  # noqa: E731
             ss, batch_size=args.batch_size, shuffle=sh, y_per_edge=y_per_edge,
             y_per_node=y_per_node,
+            link_queries=(4, 8) if link_task else None,
             seed=fold,
             layout="dense_packed" if layout == "packed" else "coo",
             node_cap=args.pack_cap,

@@ -44,7 +44,8 @@ class TrainState:
 
 @dataclasses.dataclass(frozen=True)
 class TrainerConfig:
-    # regression|classification|multilabel|edge_binary|brain|node_classification
+    # regression|classification|multilabel|edge_binary|brain|
+    # node_classification|link_prediction
     task: str = "regression"
     lr: float = 1e-3
     weight_decay: float = 1e-3
@@ -111,6 +112,13 @@ def _loss_for(task: str):
             out.reshape(-1, out.shape[-1]),
             batch.y.reshape(-1).astype(jnp.int32),
             batch.level0.node_mask.reshape(-1),
+        )
+    if task == "link_prediction":
+        # per-pair BCE over the batch-carried queries (PCQM-Contact —
+        # beyond-reference head; the reference ships the loader's
+        # edge_label fields, lib/LRGBDataset.py:81-95, but no model)
+        return lambda out, batch: L.bce_logits_loss(
+            out.reshape(-1), batch.y.reshape(-1), batch.pair_mask
         )
     raise ValueError(f"unknown task {task!r}")
 
@@ -350,6 +358,10 @@ class Trainer:
                 node_masks.append(
                     jnp.asarray(batch.level0.node_mask).reshape(-1)
                 )
+            elif cfg.task == "link_prediction":
+                preds.append(out.reshape(-1))
+                ys.append(jnp.asarray(batch.y).reshape(-1))
+                node_masks.append(jnp.asarray(batch.pair_mask).reshape(-1))
             else:
                 preds.append(out.reshape(-1, out.shape[-1]))
                 ys.append(jnp.asarray(batch.y).reshape(-1, out.shape[-1]))
@@ -381,6 +393,17 @@ class Trainer:
                 num_classes=lg.shape[-1],
                 mask=np.asarray(jnp.concatenate(node_masks)),
             )
+        elif cfg.task == "link_prediction":
+            # groups are (1 positive first, n_neg negatives) contiguous
+            # rows (attach_link_pairs) → MRR is a reshape
+            p = np.asarray(jnp.concatenate(preds))
+            y = np.asarray(jnp.concatenate(ys))
+            m = np.asarray(jnp.concatenate(node_masks)) > 0
+            p, y = p[m], y[m]
+            q = int(y.sum())
+            group = len(y) // max(q, 1)
+            scores = p[: q * group].reshape(q, group)
+            metric = M.mrr(scores[:, 0], scores[:, 1:])
         else:
             metric = float(np.asarray(sum(f1s))) / max(n, 1)
         return loss_avg, metric

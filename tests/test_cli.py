@@ -111,6 +111,109 @@ class TestCli:
         out = capsys.readouterr().out
         assert "Epoch 001" in out and "Fold 0" in out
 
+    def test_four_benchmark_gate_rehearsal(self, tmp_path, capsys):
+        """VERDICT r4 item 9: the full ingest→fold→train→test→gate loop on
+        fabricated raw files for ALL FOUR reference benchmarks, so the day
+        real datasets appear the accuracy gates (ZINC MAE<0.4, TSP F1>.75,
+        CIFAR acc>.6, pepfunc AP>.5 — reference main_*.py acceptance
+        criteria) run with zero new code: only --data_root changes."""
+        import pickle as pk
+
+        import torch
+
+        rng = np.random.default_rng(0)
+        root = str(tmp_path / "raw")
+        os.makedirs(root, exist_ok=True)
+        # zinc: {split}.pickle + .index (reference main_zinc...py:216-218)
+        _fake_zinc_raw(root, n_mols=8)
+        # tsp / cifar10sp: exported {benchmark}_{split}.pkl dicts
+        for split in ("train", "val"):
+            graphs = []
+            for _ in range(6):
+                n = 12
+                ei = _ring_edges(n)
+                graphs.append(dict(
+                    pos=rng.random((n, 2)).astype(np.float32),
+                    edge_index=ei,
+                    edge_attr=rng.random(ei.shape[1]).astype(np.float32),
+                    y=(rng.random(ei.shape[1]) > 0.5).astype(np.float32),
+                ))
+            with open(os.path.join(root, f"tsp_{split}.pkl"), "wb") as f:
+                pk.dump(graphs, f)
+            graphs = []
+            for _ in range(6):
+                n = 16
+                ei = _ring_edges(n)
+                graphs.append(dict(
+                    x=rng.random((n, 3)).astype(np.float32),
+                    pos=rng.random((n, 2)).astype(np.float32),
+                    edge_index=ei,
+                    edge_attr=rng.random(ei.shape[1]).astype(np.float32),
+                    y=np.asarray([int(rng.integers(0, 10))]),
+                ))
+            with open(
+                os.path.join(root, f"cifar10sp_{split}.pkl"), "wb"
+            ) as f:
+                pk.dump(graphs, f)
+        # pepfunc: peptides-func/raw/{split}.pt reference tuples
+        praw = os.path.join(root, "peptides-func", "raw")
+        os.makedirs(praw, exist_ok=True)
+        for split in ("train", "val"):
+            gs = []
+            for _ in range(6):
+                n = 12
+                ei = _ring_edges(n)
+                gs.append((
+                    torch.tensor(rng.random((n, 9)), dtype=torch.float32),
+                    torch.tensor(rng.random((ei.shape[1], 3)),
+                                 dtype=torch.float32),
+                    torch.tensor(ei),
+                    torch.tensor(rng.integers(0, 2, (1, 10)),
+                                 dtype=torch.float32),
+                ))
+            torch.save(gs, os.path.join(praw, f"{split}.pt"))
+
+        for bench in ("zinc", "tsp", "cifar10sp", "pepfunc"):
+            args = ["--benchmark", bench, "--data_root", root,
+                    "--keig", "5", "--aug_variants", "1",
+                    "--save_dir", str(tmp_path / "w"), "--fold", "0",
+                    "--c1", "1", "--c2", "1", "--c3", "1", "--filters", "8",
+                    "--K", "2", "--mlp_channels", "1", "--batch_size", "4",
+                    "--epochs", "2"]
+            main(args)
+            out = capsys.readouterr().out
+            assert "Fold 0 best metric" in out, (bench, out)
+            # --test either restores a gate-passing checkpoint and prints
+            # the metric, or (random labels usually fail the reference's
+            # gate) exits loudly — both paths are the rehearsed contract
+            try:
+                main(args + ["--test", "1"])
+                out = capsys.readouterr().out
+                assert "metric=" in out, (bench, out)
+            except SystemExit as e:
+                assert "no checkpoint" in str(e), (bench, e)
+
+    def test_pcqm_synthetic_train_and_test(self, tmp_path, capsys):
+        """Beyond-reference PCQM-Contact link prediction through the CLI
+        (VERDICT r4 item 3): batch-carried query pairs (loader
+        link_queries → attach_link_pairs), BCE loss, MRR eval, checkpoint
+        gating, then the --test round-trip on the saved best."""
+        args = ["--benchmark", "pcqm", "--synthetic", "--n_synthetic", "24",
+                "--keig", "5", "--fold", "0", "--c1", "1", "--c2", "1",
+                "--c3", "1", "--filters", "8", "--K", "2", "--mlp_channels",
+                "1", "--batch_size", "4", "--save_dir", str(tmp_path)]
+        main(args + ["--epochs", "4"])
+        out = capsys.readouterr().out
+        assert "Epoch 001" in out and "Fold 0 best metric" in out
+        # MRR over (1 pos, 8 neg) groups: chance E[1/rank] ≈ 0.314 — the
+        # eig-PE adjacency signal must lift it decisively within 4 epochs
+        best = float(out.split("best metric:")[1].split()[0])
+        assert best > 0.45, out
+        # --test restores the gated best checkpoint and re-evaluates
+        main(args + ["--test", "1"])
+        out = capsys.readouterr().out
+        assert "metric=" in out and "val" in out
+
     def test_dp_synthetic(self, tmp_path, capsys):
         import jax
 
