@@ -31,7 +31,13 @@ def make_step(which: str, scan_steps: int):
     from hl_hgat_tpu.train import Trainer, TrainerConfig
 
     if which == "flagship":
-        cache = "/tmp/hlhgat_bench_packed_320.pkl"
+        # the committed driver recipe: batch 384 + swap-dW (bench.py);
+        # override via BENCH_BATCH_GRAPHS / HLHGAT_SWAP_DW
+        from hl_hgat_tpu.nn.gemm import use_swap_dw
+
+        use_swap_dw(os.environ.get("HLHGAT_SWAP_DW", "1") == "1")
+        nb = os.environ.get("BENCH_BATCH_GRAPHS", "384")
+        cache = f"/tmp/hlhgat_bench_packed_{nb}.pkl"
         with open(cache, "rb") as fh:
             batch = pickle.load(fh)
         model, _ = presets.zinc_pyr(compute_dtype="bfloat16", remat=False)

@@ -59,7 +59,26 @@ def graclus_cluster(
     8997→2676 edges, num_nodepedge 2815 = the checkpoint's flatten-head
     width; OHBM_DEMO.ipynb cell 46 sets that seed before MLGC_Weight).
     """
-    if rng is None and visit is None and not directed and impl != "python":
+    if impl == "native_or_sym":
+        # unweighted matching with ascending-by-index neighbour order: sort
+        # the canonical list row-major (coarse levels come out of the
+        # first-seen dedup UNSORTED), then the native symmetrizing matcher
+        # visits each node's neighbours ascending by index (see mlgc);
+        # falls back to the symmetrized Python walk
+        from hl_hgat_tpu import native
+
+        srt = np.lexsort((dst, src))
+        src, dst = (
+            np.ascontiguousarray(src[srt]), np.ascontiguousarray(dst[srt])
+        )
+        out = native.graclus_match(src, dst, None, num_nodes)
+        if out is not None:
+            return out
+        ss = np.concatenate([src, dst])
+        dd = np.concatenate([dst, src])
+        order = np.lexsort((dd, ss))
+        src, dst, directed = ss[order], dd[order], True
+    elif rng is None and visit is None and not directed and impl != "python":
         from hl_hgat_tpu import native
 
         out = native.graclus_match(src, dst, weight, num_nodes)
@@ -175,14 +194,20 @@ def mlgc(
         # order is ASCENDING BY INDEX.  Matching from the canonical
         # (src<dst) skeleton instead visits neighbours in edge order, which
         # agrees on many small graphs but diverges on deeper pyramid
-        # levels (caught by the 2-pool ABCD fixture).  Feed the matcher the
-        # same symmetric row-major list; ``directed=True`` because it is
-        # already both-orientation.
-        ss = np.concatenate([src, dst])
-        dd = np.concatenate([dst, src])
-        order = np.lexsort((dd, ss))
-        rep = graclus_cluster(
-            ss[order], dd[order], None, n, directed=True)
+        # levels (caught by the 2-pool ABCD fixture).
+        #
+        # Fast path (round-5 advisor fix): for a CANONICAL row-major
+        # skeleton the native symmetrizing matcher already yields
+        # ascending-by-index neighbour order — node u's <u neighbours are
+        # appended from the (s, u) edges of the s<u blocks (s ascending)
+        # BEFORE its >u neighbours from the contiguous (u, d) block
+        # (d ascending) — so it equals matching on the symmetric row-major
+        # list (pinned by tests/test_complex.py::test_mlgc_native_matches
+        # _symmetrized_python on random graphs + deep pyramids, and by the
+        # 2-pool ABCD executed-reference fixture).  The previous
+        # directed=True detour forced the per-edge Python loop onto the
+        # ~100x-throttled host for every unweighted pyramid build.
+        rep = graclus_cluster(src, dst, None, n, impl="native_or_sym")
     else:
         # weighted matching orders neighbours by descending weight
         # (continuous weights — insertion order is not load-bearing), and

@@ -404,14 +404,16 @@ def pack_plan(
     """
     # Round-5 packer: first-fit decreasing tried under SEVERAL deterministic
     # sort keys, keeping the fewest-bin result (earliest order wins ties).
-    # Round 4's single (n+e)-sorted FFD took next-fit's 72 blocks down to 66
-    # on the 320-graph flagship batch; the binding resource at the bench
-    # caps is usually EDGES, and sorting by max(n, e) — the classic vector-
-    # packing surrogate — packs the batch-384 bench distribution into 78
-    # blocks where (n+e) FFD needs 79 (lower bound 76; a 400-restart
-    # randomized probe found nothing below 78, so this is at the practical
-    # floor).  Must stay identical to data/fast_collate.py::pack_indices
-    # (the loader's packer) — same orders, same tie-break.
+    # Round 4's single (n+e)-sorted FFD took next-fit's 72 blocks down to
+    # 66 on the 320-graph flagship batch.  On the committed batch-384 bench
+    # distribution every order lands on 78 blocks (lower bound 76; a
+    # 400-restart randomized probe found nothing below 78 — the practical
+    # floor), but on closely related draws (n+e) alone packs 79 where
+    # max(n, e) — the classic vector-packing surrogate for the binding
+    # resource — finds 78, so best-of-orders never loses and guards the
+    # loader's real data distributions.  Must stay identical to
+    # data/fast_collate.py::pack_indices (the loader's packer) — same
+    # orders, same tie-break.
     spans: dict[int, int] = {}
     packable: list[int] = []
     span_bins: list[list[int]] = []

@@ -139,9 +139,9 @@ def pack_indices(
     Round 4: next-fit → FFD (flagship bench batch 72 → 66 blocks).
     Round 5: FFD under several deterministic sort keys (max(n,e), n+e, e,
     n — `_PACK_SORT_KEYS` there), fewest bins kept, earliest order winning
-    ties; max(n,e) targets the binding resource and takes the batch-384
-    bench distribution from 79 to 78 blocks (lower bound 76; a randomized
-    probe found nothing below 78)."""
+    ties; max(n,e) targets the binding resource — best-of-orders never
+    loses to the old single (n+e) order and finds 78 where it packs 79 on
+    some ZINC-shaped draws (see pack_plan's comment)."""
     n = flat.levels[0].num_nodes[indices]
     e = flat.levels[0].num_edges[indices]
     if int(n.max()) > node_cap or int(e.max()) > edge_cap:

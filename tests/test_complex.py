@@ -234,6 +234,41 @@ class TestCoarsen:
                 a, b = int(members[0]), int(members[1])
                 assert (a, b) in edges or (b, a) in edges
 
+    def test_mlgc_native_matches_symmetrized_python(self, graph_factory):
+        """Round-5 advisor fix: the default unweighted MLGC routes through
+        the native symmetrizing matcher (graclus_match).  For a CANONICAL
+        row-major skeleton its per-node neighbour order is ascending by
+        index, so it must agree EXACTLY with the reference-order
+        symmetrized Python walk (the previous default path) — on flat
+        graphs and on deep pyramid levels (where the r4 neighbour-order
+        bug lived)."""
+        from hl_hgat_tpu import native
+        from hl_hgat_tpu.complex.coarsen import build_pyramid
+
+        if native.graclus_match(
+            np.asarray([0], np.int32), np.asarray([1], np.int32), None, 2
+        ) is None:
+            import pytest
+
+            pytest.skip("native library unavailable")
+        for seed in range(12):
+            rng = np.random.default_rng(seed)
+            n = int(rng.integers(10, 60))
+            src, dst = graph_factory(n=n, extra_edges=int(rng.integers(4, 30)))
+            st = build_structure(src, dst, n)
+            levels, _ = build_pyramid([st], 2)
+            for lv in levels[:-1]:
+                s, d, nn = lv.src, lv.dst, lv.num_nodes
+                fast = graclus_cluster(s, d, None, nn, impl="native_or_sym")
+                ss = np.concatenate([s, d])
+                dd = np.concatenate([d, s])
+                order = np.lexsort((dd, ss))
+                ref = graclus_cluster(
+                    ss[order], dd[order], None, nn,
+                    directed=True, impl="python",
+                )
+                np.testing.assert_array_equal(fast, ref, err_msg=f"seed {seed}")
+
     def test_mlgc_structure(self, rng, graph_factory):
         src, dst = graph_factory(n=16, extra_edges=10)
         structure = build_structure(src, dst, 16)
