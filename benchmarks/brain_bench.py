@@ -42,6 +42,11 @@ def main():
     ap.add_argument("batch_subjects", nargs="?", type=int, default=16)
     ap.add_argument("--t", type=int, default=128)
     ap.add_argument("--pool_num", type=int, default=2)
+    ap.add_argument("--model", default="hgat", choices=["hgat", "abcd"],
+                    help="hgat = the DEMO HL_HGAT_attpool (OHBM workload); "
+                         "abcd = the lib ABCD model (HLHGCNNAbcd, pool_loc "
+                         "LIST — reference lib/Hodge_ST_Model.py:26-168) at "
+                         "the same real skeleton/scale (VERDICT r4 item 4)")
     ap.add_argument("--layout", choices=["shared", "coo"], default="shared")
     ap.add_argument("--infer", action="store_true",
                     help="forward-only (serving) throughput instead of the "
@@ -85,13 +90,22 @@ def main():
     real_edges = args.batch_subjects * src.shape[0]
 
     final = levels[args.pool_num]
-    model, meta = presets.hgat_attpool(
-        pool_num=args.pool_num,
-        mlp_channels=(64,),
-        nodes_per_graph=final.num_nodes, edges_per_graph=final.src.shape[0],
-        fine_nodes_per_graph=levels[0].num_nodes,
-        fine_edges_per_graph=src.shape[0],
-    )
+    if args.model == "abcd":
+        model, meta = presets.abcd_attpool(
+            pool_num=args.pool_num, k=4, filters=(32, 64, 128),
+            mlp_channels=(64,),
+            nodes_per_graph=final.num_nodes,
+            edges_per_graph=final.src.shape[0],
+        )
+    else:
+        model, meta = presets.hgat_attpool(
+            pool_num=args.pool_num,
+            mlp_channels=(64,),
+            nodes_per_graph=final.num_nodes,
+            edges_per_graph=final.src.shape[0],
+            fine_nodes_per_graph=levels[0].num_nodes,
+            fine_edges_per_graph=src.shape[0],
+        )
     model = dataclasses.replace(
         model, cfg=dataclasses.replace(model.cfg, compute_dtype=args.dtype),
     )
@@ -109,9 +123,10 @@ def main():
             def step(carry, _):
                 b2 = batch.replace(
                     x_t=batch.x_t.at[0, 0, 0].add(carry * 0.0))
-                pred, *_ = model.apply(
+                out = model.apply(
                     {"params": params, "batch_stats": bstats}, b2,
                     deterministic=True)
+                pred = out[0] if isinstance(out, tuple) else out
                 return pred.reshape(-1)[0], pred.reshape(-1)[0]
 
             _, outs = jax.lax.scan(step, seed_row, None, length=STEPS)
@@ -136,7 +151,7 @@ def main():
             metric="brain_infer_edges_per_sec",
             value=round(real_edges * sps, 1), unit="edges/s",
             batch_subjects=args.batch_subjects, t=args.t,
-            layout=args.layout, subjects_per_sec=round(
+            model=args.model, layout=args.layout, subjects_per_sec=round(
                 args.batch_subjects * sps, 2),
             steps_per_sec=round(sps, 3), compile_s=round(compile_s, 1),
             backend=jax.default_backend(),
@@ -149,10 +164,11 @@ def main():
             params, bstats, opt_state = carry
 
             def loss_fn(p):
-                (pred, *_), mut = model.apply(
+                out, mut = model.apply(
                     {"params": p, "batch_stats": bstats}, batch,
                     deterministic=False, mutable=["batch_stats"],
                 )
+                pred = out[0] if isinstance(out, tuple) else out
                 return (
                     jnp.mean((pred.reshape(-1) - batch.y.reshape(-1)) ** 2),
                     mut,
@@ -187,7 +203,8 @@ def main():
         metric="brain_edges_per_sec", value=round(real_edges * sps, 1),
         unit="edges/s", batch_subjects=args.batch_subjects, t=args.t,
         rois=levels[0].num_nodes, skeleton_edges=int(src.shape[0]),
-        pool_num=args.pool_num, layout=args.layout, real_edges=real_edges,
+        pool_num=args.pool_num, model=args.model, layout=args.layout,
+        real_edges=real_edges,
         steps_per_sec=round(sps, 3), subjects_per_sec=round(
             args.batch_subjects * sps, 2),
         compile_s=round(compile_s, 1), build_s=round(build_s, 1),

@@ -131,6 +131,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "Group_FC/FCMask data when present, else 32 "
                         "synthetic ROIs); N>0 forces an N-ROI synthetic "
                         "skeleton")
+    p.add_argument("--brain_model", default="hgat",
+                   choices=["hgat", "abcd"],
+                   help="brain: hgat = the DEMO HL_HGAT_attpool (OHBM "
+                        "workflow, default); abcd = the lib ABCD model "
+                        "(pool_loc LIST, reference "
+                        "lib/Hodge_ST_Model.py:26-168) on the same "
+                        "shared-skeleton pyramid at scale")
     return p
 
 
@@ -382,16 +389,26 @@ def run_brain(args) -> None:
     for fold in folds:
         print(f"Fold {fold} begin")
         mlp = (64,) * max(args.mlp_channels, 1)
-        model, meta = presets.hgat_attpool(
-            channels=(args.c1, args.c2, args.c3),
-            filters=(args.filters // 2, args.filters, args.filters * 2),
-            k=args.K, dropout=args.dropout_ratio, mlp_channels=mlp,
-            pool_num=args.pool_num,
-            nodes_per_graph=final.num_nodes,
-            edges_per_graph=final.num_edges,
-            fine_nodes_per_graph=levels[0].num_nodes,
-            fine_edges_per_graph=levels[0].num_edges,
-        )
+        if args.brain_model == "abcd":
+            model, meta = presets.abcd_attpool(
+                channels=(args.c1, args.c2, args.c3),
+                filters=(args.filters // 2, args.filters, args.filters * 2),
+                k=args.K, dropout=args.dropout_ratio, mlp_channels=mlp,
+                pool_num=args.pool_num,
+                nodes_per_graph=final.num_nodes,
+                edges_per_graph=final.num_edges,
+            )
+        else:
+            model, meta = presets.hgat_attpool(
+                channels=(args.c1, args.c2, args.c3),
+                filters=(args.filters // 2, args.filters, args.filters * 2),
+                k=args.K, dropout=args.dropout_ratio, mlp_channels=mlp,
+                pool_num=args.pool_num,
+                nodes_per_graph=final.num_nodes,
+                edges_per_graph=final.num_edges,
+                fine_nodes_per_graph=levels[0].num_nodes,
+                fine_edges_per_graph=levels[0].num_edges,
+            )
         model = _dc.replace(
             model,
             cfg=_dc.replace(

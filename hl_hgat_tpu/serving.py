@@ -27,12 +27,24 @@ from hl_hgat_tpu.complex.build import GraphSample
 from hl_hgat_tpu.complex.compact import maybe_inflate
 from hl_hgat_tpu.data.loader import BucketedLoader
 
+# Measured single-chip serving knee for ZINC-sized molecular graphs
+# (benchmarks/infer_bench.py, round 4: 6.669M edges/s @384 vs 6.448M @320
+# on a v5e) — the serving-side analog of training's ``--layout auto``
+# recipe.  Callers with enough in-flight requests should batch at this
+# size; the default below stays smaller because serving latency at 64
+# graphs is ~6× lower while throughput is still within ~2× of the knee.
+RECOMMENDED_THROUGHPUT_BATCH = 384
+
 
 class Predictor:
     """Jitted deterministic forward over padded batches.
 
     ``edge_level=True`` returns one unpadded array per input graph (TSP-style
     per-edge outputs); otherwise one leading-axis row per graph.
+
+    ``batch_size``: the default 64 favors latency; for offline/throughput
+    serving pass ``batch_size=RECOMMENDED_THROUGHPUT_BATCH`` (the measured
+    single-chip knee — see benchmarks/RESULTS.md round 4).
     """
 
     def __init__(
@@ -197,6 +209,13 @@ class BrainPredictor:
             batch = jax.tree.map(
                 jnp.asarray, collate_dense_shared(samples, multiple=1))
             out = self._forward(self.variables, batch)
+            if not isinstance(out, tuple):
+                # HLHGCNNAbcd returns the bare prediction; HLHGATAttpool
+                # returns (pred, latent, node_att, edge_att) — zip fills
+                # only the fields the model provides
+                out = (out,)
             for k, v in zip(fields, out):
                 fields[k].append(np.asarray(v)[:keep])
-        return {k: np.concatenate(v, axis=0) for k, v in fields.items()}
+        return {
+            k: np.concatenate(v, axis=0) for k, v in fields.items() if v
+        }

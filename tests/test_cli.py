@@ -87,6 +87,24 @@ class TestCli:
         out = capsys.readouterr().out
         assert "test corr=" in out
 
+    def test_brain_abcd_model_train_and_test(self, tmp_path, capsys):
+        """--benchmark brain --brain_model abcd (VERDICT r4 item 4): the
+        lib ABCD model (pool_loc LIST, reference
+        lib/Hodge_ST_Model.py:26-168) on the shared-skeleton pyramid
+        through the same CLI fit + BrainPredictor --test round-trip."""
+        args = ["--benchmark", "brain", "--brain_model", "abcd", "--fold",
+                "0", "--n_synthetic", "12", "--batch_size", "4", "--epochs",
+                "1", "--c1", "1", "--c2", "1", "--c3", "1", "--filters",
+                "8", "--K", "2", "--t", "24", "--crop_len", "16", "--rois",
+                "24", "--pool_num", "1", "--dtype", "float32",
+                "--save_dir", str(tmp_path)]
+        main(args)
+        out = capsys.readouterr().out
+        assert "Epoch 001" in out
+        main(args + ["--test", "1"])
+        out = capsys.readouterr().out
+        assert "test corr=" in out
+
     def test_brain_defaults_applied(self):
         """`--benchmark brain` re-defaults to the benched recipe unless the
         flag is explicitly passed (BRAIN_DEFAULTS)."""
