@@ -95,6 +95,19 @@ def _gemm_swap_bwd(res, gy):
     f = w.shape[-1]
     x2 = x.reshape(-1, c)
     g2 = gy.reshape(-1, f)
+    # DTYPE NOTE (round-5 trace diff, benchmarks/RESULTS.md): under bf16
+    # compute the cotangent gy is f32 (the forward accumulates f32), so
+    # ``x2.astype(g2.dtype)`` makes these contractions run in FLOAT32
+    # where einsum autodiff rounds gy to bf16 and contracts in bf16.  Both
+    # variants were measured end-to-end: the f32 form wins on the flagship
+    # (2.263M vs 2.202M with gy rounded first — the rounding inserts big
+    # f32→bf16 converts of every layer's cotangent), and on TSP even the
+    # bf16-contraction variant still loses to no-swap (1.583M vs 1.609M —
+    # the orientation itself doesn't pay off at banded shapes), so the
+    # per-family ``--swap_dw auto`` exclusions stand on mechanism: the
+    # swap recipe bundles f32-precision dW/dx contractions, a free
+    # precision bonus where stack re-read traffic dominates (flagship) and
+    # a rate penalty where dW GEMM FLOPs dominate (TSP/brain).
     dw_t = jax.lax.dot_general(
         g2, x2.astype(g2.dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
