@@ -46,6 +46,15 @@ def make_step(which: str, scan_steps: int):
         )
         tr = Trainer(model, TrainerConfig(task="regression", lr=1e-3,
                                           weight_decay=1e-3))
+    elif which == "attpool":
+        # the pooled family at the benched recipe (attpool_bench.py 320)
+        with open("/tmp/hlhgat_attpool_320.pkl", "rb") as fh:
+            batch = pickle.load(fh)
+        model, _ = presets.cifar10sp_attpool(mlp_channels=(256,))
+        model = _dc.replace(
+            model, cfg=_dc.replace(model.cfg, compute_dtype="bfloat16")
+        )
+        tr = Trainer(model, TrainerConfig(task="classification", lr=1e-3))
     elif which == "tsp":
         with open("/tmp/hlhgat_tsp_samples_64.pkl", "rb") as fh:
             samples = pickle.load(fh)
