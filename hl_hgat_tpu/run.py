@@ -34,7 +34,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--K", type=int, default=6)
     p.add_argument("--keig", type=int, default=0,
                    help="PE dims (0 = benchmark default, capped below filters)")
-    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=128,
+                   help="default 128 = the reference scripts' training "
+                        "batch (an optimization choice, kept).  Measured "
+                        "single-chip THROUGHPUT knees if you only care "
+                        "about step rate (benchmarks/RESULTS.md round 5): "
+                        "zinc-shaped packed 384; pooled attpool (cifar/"
+                        "pepfunc) 64; TSP-500 banded 32; brain 16 "
+                        "subjects — the pooled/banded families are "
+                        "bandwidth-bound, so their knees sit LOW")
     p.add_argument("--epochs", type=int, default=600)
     p.add_argument("--folds", type=int, default=5)
     p.add_argument("--fold", type=int, default=-1)
