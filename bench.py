@@ -169,12 +169,19 @@ def main() -> None:
 
     inner = trainer._train_step_impl
 
+    # BENCH_SCAN_UNROLL=k unrolls the step loop k-fold — probing whether the
+    # small-vector carry copies at the scan boundary (f32[128]/[256]
+    # param/stat writebacks, ~5-9 us each in the round-5 trace) amortize.
+    unroll = int(os.environ.get("BENCH_SCAN_UNROLL", "1"))
+
     def multi_step(state, batch):
         def body(s, _):
             s, loss = inner(s, batch)
             return s, loss
 
-        return jax.lax.scan(body, state, None, length=STEPS_PER_CALL)
+        return jax.lax.scan(
+            body, state, None, length=STEPS_PER_CALL, unroll=unroll
+        )
 
     # Optional remote-compiler options (client-side XLA_FLAGS cannot carry
     # TPU flags through the tunneled backend, but per-jit compiler_options
