@@ -47,8 +47,10 @@ def make_step(which: str, scan_steps: int):
         tr = Trainer(model, TrainerConfig(task="regression", lr=1e-3,
                                           weight_decay=1e-3))
     elif which == "attpool":
-        # the pooled family at the benched recipe (attpool_bench.py 320)
-        with open("/tmp/hlhgat_attpool_320.pkl", "rb") as fh:
+        # the pooled family at the benched recipe (attpool_bench.py; the
+        # round-5 knee is batch 64 — override via BENCH_BATCH_GRAPHS)
+        nb = os.environ.get("BENCH_BATCH_GRAPHS", "64")
+        with open(f"/tmp/hlhgat_attpool_{nb}.pkl", "rb") as fh:
             batch = pickle.load(fh)
         model, _ = presets.cifar10sp_attpool(mlp_channels=(256,))
         model = _dc.replace(

@@ -282,12 +282,20 @@ class DenseInt3Backbone(nn.Module):
                     a_t = a_t / jnp.maximum(jnp.max(a_t), 1e-12)
                     a_s = a_s / jnp.maximum(jnp.max(a_s), 1e-12)
                 atts.append((a_t, a_s))
+                # The gate itself stays f32 (att-L1 losses / return_atts),
+                # but the wide multiply runs in the activation dtype — the
+                # f32 scale inside the att head otherwise promotes the
+                # gated stack to f32 under bf16 compute.  No-op in f32;
+                # measured neutral at the pooled-family knee (RESULTS.md
+                # round 5 — dtype hygiene, not a throughput lever).
                 if cfg.gate_target == "stack":
-                    pieces_t = tuple(p * a_t for p in pieces_t)
-                    pieces_s = tuple(p * a_s for p in pieces_s)
+                    gt = a_t.astype(pieces_t[0].dtype)
+                    gs = a_s.astype(pieces_s[0].dtype)
+                    pieces_t = tuple(p * gt for p in pieces_t)
+                    pieces_s = tuple(p * gs for p in pieces_s)
                 else:
-                    x_t = x_t * a_t
-                    x_s = x_s * a_s
+                    x_t = x_t * a_t.astype(x_t.dtype)
+                    x_s = x_s * a_s.astype(x_s.dtype)
 
             if i in cfg.pool_locs:
                 coarse = batch.levels[k + 1]

@@ -22,6 +22,7 @@ from hl_hgat_tpu.complex.batch import ComplexLevel, CooMatrix
 from hl_hgat_tpu.complex.dense import BlockDiagMatrix
 from hl_hgat_tpu.nn.conv import (
     LaguerreConv,
+    emit_cast,
     polynomial_terms,
     use_adjoint_conv,
     use_fused_dense,
@@ -163,9 +164,9 @@ def merged_conv_pair(
     if b_s is not None:
         y_s = y_s + b_s.astype(y_s.dtype)
     x_t = node(x_t, level.l0, level.node_mask, deterministic=deterministic,
-               conv_result=y_t.astype(x_t.dtype))
+               conv_result=emit_cast(y_t, x_t.dtype))
     x_s = edge(x_s, level.l1, level.edge_mask, deterministic=deterministic,
-               conv_result=y_s.astype(x_s.dtype))
+               conv_result=emit_cast(y_s, x_s.dtype))
     return x_t, x_s
 
 

@@ -189,6 +189,34 @@ def use_stacked_terms(enable: bool | None = None) -> bool:
     return _stacked_terms_flag
 
 
+_emit_barrier_flag = os.environ.get("HLHGAT_CONV_EMIT_BARRIER", "0") == "1"
+
+
+def use_emit_barrier(enable: bool | None = None) -> bool:
+    """Get/set the conv-output materialization barrier
+    (``HLHGAT_CONV_EMIT_BARRIER``).  The conv GEMMs accumulate f32 and the
+    module rounds to the compute dtype (``out.astype``), but XLA may
+    materialize the PRE-convert f32 buffer and re-derive the convert inside
+    every consumer — on the bandwidth-bound pooled/banded families that
+    doubles the GEMM→BN link traffic (round-5 attpool trace: f32[64,408,C]
+    buffers feeding 160 µs multiply_select fusions).  The barrier pins the
+    bf16 value as the materialization point, fusing the convert into the
+    GEMM epilogue.  Read at trace time."""
+    global _emit_barrier_flag
+    if enable is not None:
+        _emit_barrier_flag = enable
+    return _emit_barrier_flag
+
+
+def emit_cast(out, out_dtype):
+    """Round a GEMM output to the compute dtype; under `use_emit_barrier`
+    also pin the rounded value as the buffer XLA materializes."""
+    out = out.astype(out_dtype)
+    if _emit_barrier_flag and out.dtype != jnp.float32:
+        out = jax.lax.optimization_barrier(out)
+    return out
+
+
 def _combine_terms(terms, weights, bias, out_dtype):
     """sum_k T_k @ W_k (+ b) with a shared f32 accumulator.
 
@@ -206,7 +234,7 @@ def _combine_terms(terms, weights, bias, out_dtype):
         )
         if bias is not None:
             out = out + bias.astype(out.dtype)
-        return out.astype(out_dtype)
+        return emit_cast(out, out_dtype)
     from hl_hgat_tpu.nn.gemm import stack_gemm
 
     out = None
@@ -215,7 +243,7 @@ def _combine_terms(terms, weights, bias, out_dtype):
         out = part if out is None else out + part
     if bias is not None:
         out = out + bias.astype(out.dtype)
-    return out.astype(out_dtype)
+    return emit_cast(out, out_dtype)
 
 
 def _zero_cotangent(leaf):

@@ -89,5 +89,11 @@ class SAPool(nn.Module):
         if self.max_normalize:
             a_t = a_t / jnp.maximum(jnp.max(a_t), 1e-12)
             a_s = a_s / jnp.maximum(jnp.max(a_s), 1e-12)
-        x_t_c, x_s_c = sapool_scatter(x_t * a_t, x_s * a_s, pool, fine, coarse)
+        # gated multiply in the activation dtype (the f32 att-head scale
+        # would otherwise promote the wide product to f32 — see the same
+        # cast in models/backbone.py); returned gates stay f32
+        x_t_c, x_s_c = sapool_scatter(
+            x_t * a_t.astype(x_t.dtype), x_s * a_s.astype(x_s.dtype),
+            pool, fine, coarse,
+        )
         return x_t_c, x_s_c, a_t, a_s
