@@ -363,6 +363,34 @@ class TestSwapDwGemm:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    def test_emit_barrier_identity(self, rng, graph_factory, dtype):
+        """HLHGAT_CONV_EMIT_BARRIER (nn/conv.py::emit_cast): the conv-output
+        materialization barrier is semantically the identity — values and
+        grads must match the default path exactly in both dtypes (the
+        barrier only pins WHERE XLA materializes the rounded value)."""
+        from hl_hgat_tpu.nn import conv as conv_mod
+        from hl_hgat_tpu.nn.conv import laguerre_matvec
+
+        _, batch = make_batch(rng, graph_factory)
+        lvl = batch.levels[0]
+        x = jnp.asarray(batch.x_t).astype(dtype)
+        w = jnp.asarray(rng.standard_normal((3, 6, 4)).astype(np.float32))
+
+        def run(xx, ww):
+            return jnp.sum(laguerre_matvec(xx, lvl.l0, ww) ** 2)
+
+        try:
+            conv_mod.use_emit_barrier(False)
+            l0, (gx0, gw0) = jax.value_and_grad(run, argnums=(0, 1))(x, w)
+            conv_mod.use_emit_barrier(True)
+            l1, (gx1, gw1) = jax.value_and_grad(run, argnums=(0, 1))(x, w)
+        finally:
+            conv_mod.use_emit_barrier(False)
+        assert float(l0) == float(l1)
+        np.testing.assert_array_equal(np.asarray(gx0), np.asarray(gx1))
+        np.testing.assert_array_equal(np.asarray(gw0), np.asarray(gw1))
+
     def test_bf16_packed_grads(self, rng):
         """The swap backward must hand back cotangents in the PRIMAL dtypes
         — a bf16 packed model exposes the recurrence transpose (this was a
