@@ -72,7 +72,13 @@ def main():
         ),
     )
     trainer = Trainer(
-        model, TrainerConfig(task="classification", lr=1e-3)
+        model, TrainerConfig(
+            task="classification", lr=1e-3,
+            # BENCH_PRNG=rbg probes the TPU-native generator for the
+            # dropout bits (threefry fusions ~150 us/step in the round-5
+            # batch-64 trace)
+            prng_impl=os.environ.get("BENCH_PRNG", "threefry2x32"),
+        )
     )
     state = trainer.init_state(batch)
     inner = trainer._train_step_impl

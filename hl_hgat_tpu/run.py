@@ -109,6 +109,15 @@ def build_argparser() -> argparse.ArgumentParser:
                         "+1.9%% at the flagship knee; 2-seed convergence "
                         "within the draw band), off for float32 (keeps "
                         "grads bit-comparable to einsum autodiff)")
+    p.add_argument("--prng", default="threefry2x32",
+                   choices=["threefry2x32", "rbg"],
+                   help="PRNG for the TRAINING stream (dropout/aug bits; "
+                        "param init always uses threefry so weights are "
+                        "reproducible across choices).  'rbg' = the "
+                        "TPU-native hardware generator: +8.4%% on the "
+                        "dropout-0.25 pooled family step, converges "
+                        "inside the seed band (benchmarks/prng_ab.py); "
+                        "opt-in because it changes the dropout stream")
     p.add_argument("--remat", default="0",
                    choices=["0", "1", "msi", "dots"],
                    help="backward rematerialization granularity")
@@ -433,6 +442,7 @@ def run_brain(args) -> None:
             denorm=meta["y_std"],
             ckpt_dir=os.path.join(args.save_dir, f"brain_fold{fold}"),
             ckpt_every=args.ckpt_every, seed=fold,
+            prng_impl=args.prng,
         )
         if args.dp > 1:
             from hl_hgat_tpu.parallel import DataParallelTrainer
@@ -578,6 +588,7 @@ def main(argv=None) -> None:
             pe_flip_node_static=(settings["pe_static"] or (None, None))[0],
             pe_flip_edge_static=(settings["pe_static"] or (None, None))[1],
             tsp_aug_prob=tsp_aug_prob,
+            prng_impl=args.prng,
         )
         if args.dp > 1:
             from hl_hgat_tpu.parallel import DataParallelTrainer

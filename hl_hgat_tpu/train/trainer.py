@@ -78,6 +78,11 @@ class TrainerConfig:
     # resumes from its last epoch rather than its last improvement
     # (SURVEY.md §5 failure-detection plan); 0 = off
     ckpt_every: int = 0
+    # PRNG implementation for the training stream ('threefry2x32' default;
+    # 'rbg' uses the TPU-native hardware generator — cheaper random bits
+    # for dropout-heavy models at the cost of a different, non-default
+    # stream; same key-splitting API, see jax.random docs)
+    prng_impl: str = "threefry2x32"
 
 
 def _loss_for(task: str):
@@ -148,8 +153,15 @@ class Trainer:
         from hl_hgat_tpu.complex.compact import maybe_inflate
 
         example_batch = maybe_inflate(example_batch)
+        # param init always uses the default threefry stream so weights are
+        # reproducible across prng_impl choices; only the TRAINING stream
+        # (dropout/aug bits, split per step) switches implementation
         rng = jax.random.key(self.cfg.seed)
         p_rng, d_rng, s_rng = jax.random.split(rng, 3)
+        if self.cfg.prng_impl != "threefry2x32":
+            s_rng = jax.random.key(
+                self.cfg.seed ^ 0x5EED, impl=self.cfg.prng_impl
+            )
         variables = self.model.init(
             {"params": p_rng, "dropout": d_rng}, example_batch,
             deterministic=True,
