@@ -56,7 +56,10 @@ def make_step(which: str, scan_steps: int):
         model = _dc.replace(
             model, cfg=_dc.replace(model.cfg, compute_dtype="bfloat16")
         )
-        tr = Trainer(model, TrainerConfig(task="classification", lr=1e-3))
+        tr = Trainer(model, TrainerConfig(
+            task="classification", lr=1e-3,
+            prng_impl=os.environ.get("BENCH_PRNG", "threefry2x32"),
+        ))
     elif which == "tsp":
         with open("/tmp/hlhgat_tsp_samples_64.pkl", "rb") as fh:
             samples = pickle.load(fh)
