@@ -31,9 +31,15 @@ def _tree_to_numpy(tree):
 
 
 def _rewrap_keys(restored, target):
-    """Re-wrap leaves that were PRNG keys in ``target``."""
+    """Re-wrap leaves that were PRNG keys in ``target``.
+
+    The impl comes from the target key — wrap_key_data's default would
+    silently rewrap e.g. an rbg training stream (TrainerConfig.prng_impl)
+    as threefry on resume."""
     return jax.tree.map(
-        lambda r, t: jax.random.wrap_key_data(jnp_asarray_u32(r))
+        lambda r, t: jax.random.wrap_key_data(
+            jnp_asarray_u32(r), impl=jax.random.key_impl(t)
+        )
         if _is_key(t)
         else r,
         restored,

@@ -212,6 +212,39 @@ class TestEndToEnd:
 
         assert "rbg" in str(key_impl(s.rng))
 
+    def test_prng_impl_rbg_checkpoint_roundtrip(self, tmp_path):
+        """An rbg training stream must survive save/restore with its impl
+        (checkpoint.py rewraps key data with the TARGET key's impl — the
+        wrap_key_data default would silently hand back a threefry key)."""
+        from hl_hgat_tpu.data import synthetic_zinc_batch
+        from hl_hgat_tpu.models import BackboneConfig, HLHGCNNGraph
+        from hl_hgat_tpu.train.checkpoint import (
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
+        batch = jax.tree.map(
+            jnp.asarray, synthetic_zinc_batch(4, seed=0, keig=8)
+        )
+        model = HLHGCNNGraph(
+            cfg=BackboneConfig(channels=(1,), filters=(8,), k=2, init_k=2),
+            num_classes=1,
+        )
+        tr = Trainer(model, TrainerConfig(task="regression", prng_impl="rbg"))
+        state = tr.init_state(batch)
+        save_checkpoint(str(tmp_path / "ck"), state, extra=dict(epoch=1))
+        restored = restore_checkpoint(str(tmp_path / "ck"), state)
+        from jax.random import key_impl
+
+        assert "rbg" in str(key_impl(restored.rng))
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(restored.rng)),
+            np.asarray(jax.random.key_data(state.rng)),
+        )
+        # and the restored stream continues the run
+        s2, loss = tr._train_step(restored, batch)
+        assert np.isfinite(float(loss))
+
     def test_auto_resume(self, tmp_path):
         from hl_hgat_tpu.data import synthetic_zinc_batch
         from hl_hgat_tpu.models import BackboneConfig, HLHGCNNGraph
