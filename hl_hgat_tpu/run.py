@@ -42,7 +42,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "zinc-shaped packed 384; pooled attpool (cifar/"
                         "pepfunc) 64; TSP-500 banded 32; brain 16 "
                         "subjects — the pooled/banded families are "
-                        "bandwidth-bound, so their knees sit LOW")
+                        "bandwidth-bound, so their knees sit LOW.  "
+                        "Dropout-active families also gain +8%% from "
+                        "--prng rbg")
     p.add_argument("--epochs", type=int, default=600)
     p.add_argument("--folds", type=int, default=5)
     p.add_argument("--fold", type=int, default=-1)
